@@ -1,0 +1,135 @@
+"""Charset decode kernel tests — ported matrix from reference
+tests/test_utils.py:28-290 (content-declared / http-header / try-list tiers,
+alias table, error path)."""
+
+import pytest
+
+from warc2zim_spark.kernels.decode import (
+    extract_charset_from_content_type,
+    resolve_encoding_alias,
+    sniff_declared_charset,
+    to_string,
+    to_string_or_none,
+)
+
+CONTENTS = {
+    "ascii": "abc",
+    "latin1": "café",
+    "latin2": "Bűvös",
+    "chinese": "你好",
+}
+
+
+def make_html(content: str, declared: str | None, encode_as: str) -> bytes:
+    decl = f'<meta charset="{declared}">' if declared else ""
+    return f"<html><head>{decl}</head><body>{content}</body></html>".encode(encode_as)
+
+
+class TestContentDeclaredTier:
+    @pytest.mark.parametrize(
+        "content,charset",
+        [
+            ("abc", "ascii"),
+            ("café", "utf-8"),
+            ("café", "latin1"),
+            ("Bűvös", "latin2"),
+            ("Bűvös", "utf-8"),
+            ("你好", "gbk"),
+            ("你好", "gb2312"),
+            ("你好", "utf-8"),
+        ],
+    )
+    def test_declared_charset_wins(self, content, charset):
+        payload = make_html(content, charset, charset)
+        assert to_string(payload, None, ["ascii"]) == payload.decode(charset)
+
+    def test_declared_utf16(self):
+        payload = make_html("café", "utf-16", "utf-16")
+        assert "café" in to_string(payload, None, [])
+
+    def test_misdeclared_charset_still_used_with_replace(self):
+        # declared latin1 but encoded utf-8: decode with declared, errors=replace
+        payload = make_html("café", "ascii", "utf-8")
+        out = to_string(payload, None, [])
+        assert "caf" in out  # é mangled by design (errors=replace)
+
+    def test_declaration_beyond_window_ignored(self):
+        payload = (b" " * 2000) + b'<meta charset="utf-8">caf\xc3\xa9'
+        # tier (a) misses it; tier (c) utf-8 strict succeeds
+        assert "café" in to_string(payload, None, ["utf-8"], 1024)
+
+    def test_sniff_finds_quoted_and_unquoted(self):
+        assert sniff_declared_charset(b'<meta charset=utf-8>') == "utf-8"
+        assert sniff_declared_charset(b"<meta charset='gbk'>") == "gbk"
+        assert sniff_declared_charset(b'encoding="latin1"') == "latin1"
+        assert sniff_declared_charset(b"no declaration here") is None
+
+    def test_ignore_content_header_flag(self):
+        payload = make_html("café", "latin1", "latin1")
+        out = to_string(payload, "utf-8", [], ignore_content_header_charsets=True)
+        assert "caf" in out  # decoded as utf-8 (http tier), é replaced
+
+
+class TestHttpHeaderTier:
+    def test_http_charset_used(self):
+        payload = "café".encode("latin1")
+        assert to_string(payload, "latin1", []) == "café"
+
+    @pytest.mark.parametrize(
+        "alias,expected",
+        [
+            ("ansi", "windows-1252"),
+            ("65001", "utf-8"),
+            ("unicode", "utf-8"),
+            ("utf-08", "utf-8"),
+            ("UTF-8", "utf-8"),
+            ("iso88591", "iso-8859-1"),
+            ("windows-8859-1", "iso-8859-1"),
+            ("unknown-charset", "unknown-charset"),
+        ],
+    )
+    def test_aliases(self, alias, expected):
+        assert resolve_encoding_alias(alias) == expected
+
+    def test_http_alias_decode(self):
+        payload = "café".encode("windows-1252")
+        assert to_string(payload, "ansi", []) == "café"
+
+    def test_http_bad_bytes_replaced(self):
+        payload = b"caf\xe9"  # latin1 bytes
+        out = to_string(payload, "utf-8", [])
+        assert out == "caf�"
+
+
+class TestTryListTier:
+    def test_first_strict_success_wins(self):
+        payload = "café".encode("utf-8")
+        assert to_string(payload, None, ["ascii", "utf-8", "latin1"]) == "café"
+
+    def test_strict_failure_falls_through(self):
+        payload = "café".encode("latin1")
+        assert to_string(payload, None, ["utf-8", "latin1"]) == "café"
+
+    def test_exhaustion_raises(self):
+        payload = b"\xff\xfe\xff invalid \xff"
+        with pytest.raises(ValueError):
+            to_string(payload, None, ["ascii", "utf-8"])
+        assert to_string_or_none(payload, None, ["ascii", "utf-8"]) is None
+
+    def test_unknown_codec_in_list_skipped(self):
+        assert to_string(b"abc", None, ["not-a-codec", "ascii"]) == "abc"
+
+
+class TestEdgeCases:
+    def test_empty_and_none(self):
+        assert to_string(b"", "utf-8", []) == ""
+        assert to_string(None, None, []) == ""
+
+    def test_str_passthrough(self):
+        assert to_string("déjà", None, []) == "déjà"
+
+    def test_content_type_charset_extraction(self):
+        assert extract_charset_from_content_type("text/html; charset=utf-8") == "utf-8"
+        assert extract_charset_from_content_type('text/html; charset="gbk"') == "gbk"
+        assert extract_charset_from_content_type("text/html") is None
+        assert extract_charset_from_content_type(None) is None

@@ -1,0 +1,130 @@
+"""Charset sniffing + payload decoding (the reference's ``to_string``).
+
+Byte-compatible reimplementation of the 3-tier decode cascade
+(reference: utils.py:155-219, alias table utils.py:19-31, regex utils.py:14-17;
+pinned by tests/test_utils.py:28-290 + tests/encodings corpus):
+
+tier (a) — content declaration: decode the first ``header_bytes`` bytes with
+  each probe encoding (ascii, utf-16, utf-32; errors=replace), search for a
+  ``charset=``/``encoding=`` declaration; if found, decode the whole payload
+  with the (alias-resolved) declared charset, errors=replace. HTML-only
+  (rewriting.py:98-99 disables this tier for non-html modes).
+tier (b) — HTTP header charset: decode with the alias-resolved header charset,
+  errors=replace.
+tier (c) — try-list: strict decode with each charset in order; first success
+  wins; exhaustion raises ValueError.
+
+The regex's ``[a-wA-Z0-9_\\-]`` charset-token class (no lowercase x/y/z) is a
+reference quirk preserved deliberately.
+"""
+
+from __future__ import annotations
+
+import re
+
+ENCODING_RE = re.compile(
+    r"(charset|encoding)=(?P<quote>['\"]?)(?P<encoding>[a-wA-Z0-9_\-]+)(?P=quote)",
+    re.ASCII,
+)
+
+# utils.py:19-31 DEFAULT_ENCODING_ALIASES
+ENCODING_ALIASES: dict[str, str] = {
+    "ansi": "windows-1252",
+    "65001": "utf-8",
+    "iso-utf-8": "utf-8",
+    "u": "utf-8",
+    "unicode": "utf-8",
+    "utf-8": "utf-8",
+    "utf-08": "utf-8",
+    "utf-f": "utf-8",
+    "utp-8": "utf-8",
+    "windows-8859-1": "iso-8859-1",
+    "iso88591": "iso-8859-1",
+}
+
+DEFAULT_CHARSETS_TO_TRY = ["UTF-8", "ISO-8859-1"]  # main.py:113-119 default
+DEFAULT_HEADER_BYTES = 1024  # main.py:129-134 --content-header-bytes-length
+_PROBE_ENCODINGS = ("ascii", "utf-16", "utf-32")
+
+
+def resolve_encoding_alias(alias: str) -> str:
+    key = alias.lower().strip()
+    return ENCODING_ALIASES.get(key, key)
+
+
+def sniff_declared_charset(payload: bytes, header_bytes: int = DEFAULT_HEADER_BYTES) -> str | None:
+    """Tier-(a) sniff: charset declared in the first ``header_bytes`` bytes."""
+    head = payload[:header_bytes]
+    for probe in _PROBE_ENCODINGS:
+        text = head.decode(probe, errors="replace")
+        if m := ENCODING_RE.search(text):
+            return m.group("encoding")
+    return None
+
+
+def to_string(
+    payload: bytes | str | None,
+    http_encoding: str | None,
+    charsets_to_try: list[str] | None = None,
+    header_bytes: int = DEFAULT_HEADER_BYTES,
+    *,
+    ignore_content_header_charsets: bool = False,
+    ignore_http_header_charsets: bool = False,
+) -> str:
+    """Decode ``payload`` per the reference cascade. Raises ValueError when no
+    charset fits (tier-c exhaustion, utils.py:219)."""
+    if payload is None:
+        return ""
+    if isinstance(payload, str):
+        return payload
+    if not payload:
+        return ""
+
+    if not ignore_content_header_charsets:
+        declared = sniff_declared_charset(payload, header_bytes)
+        if declared is not None:
+            return payload.decode(resolve_encoding_alias(declared), errors="replace")
+
+    if not ignore_http_header_charsets and http_encoding:
+        return payload.decode(resolve_encoding_alias(http_encoding), errors="replace")
+
+    for charset in charsets_to_try or DEFAULT_CHARSETS_TO_TRY:
+        try:
+            return payload.decode(resolve_encoding_alias(charset))
+        except (ValueError, LookupError):
+            continue
+
+    raise ValueError(f"No suitable charset found to decode content {payload[:200]!r}")
+
+
+def to_string_or_none(
+    payload: bytes | None,
+    http_encoding: str | None,
+    charsets_to_try: list[str] | None = None,
+    header_bytes: int = DEFAULT_HEADER_BYTES,
+    *,
+    ignore_content_header_charsets: bool = False,
+    ignore_http_header_charsets: bool = False,
+) -> str | None:
+    """Quarantine-friendly wrapper: None instead of raising (S10 semantics —
+    per-record failure isolation, converter.py:414-437)."""
+    try:
+        return to_string(
+            payload,
+            http_encoding,
+            charsets_to_try,
+            header_bytes,
+            ignore_content_header_charsets=ignore_content_header_charsets,
+            ignore_http_header_charsets=ignore_http_header_charsets,
+        )
+    except (ValueError, LookupError):
+        return None
+
+
+def extract_charset_from_content_type(content_type: str | None) -> str | None:
+    """``charset=...`` in a Content-Type header (utils.py:149-152)."""
+    if not content_type:
+        return None
+    if m := ENCODING_RE.search(content_type):
+        return m.group("encoding")
+    return None

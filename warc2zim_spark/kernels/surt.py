@@ -1,0 +1,121 @@
+"""URL canonicalization → ZimPath/SURT-style key.
+
+Reproduces the observable contract of zimscraperlib's
+``ArticleUrlRewriter.normalize(HttpUrl(url))`` as pinned by the reference test
+suite (reference: tests/test_warc_to_zim.py:160-189 normalization round-trip;
+tests/test_warc_to_zim.py:60-87 + 512-513 fuzzy rules; README.md:41-44):
+
+* scheme dropped, host kept (``example.com/``), port dropped, userinfo stripped
+* non-ASCII hosts IDNA(punycode)-encoded, host lowercased
+* path + query percent-unquoted, empty path → ``/``
+* trailing ``?`` (empty query) dropped
+* fuzzy canonicalization of dynamic URLs on known platforms
+  (youtube/vimeo/timestamp cache-busters), kept as a *data table* of regex
+  rules — extendable without code changes (reference: zimscraperlib rules,
+  observable subset pinned below).
+
+The fuzzy-rule subset implemented is exactly the subset pinned by the
+reference's own tests; the rule table mirrors the public wabac.js
+fuzzy-matching rule shapes.
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import unquote, urlsplit
+
+# (pattern, replacement) applied to the scheme-less normalized key, first
+# match wins.  Pinned expected outputs (reference tests/test_warc_to_zim.py):
+#   youtube.fuzzy.replayweb.page/get_video_info?video_id=aT-Up5Y4uRI
+#   youtube.fuzzy.replayweb.page/videoplayback?id=o-AE3bg...
+#   youtube.fuzzy.replayweb.page/youtubei/v1/player?videoId=aT-Up5Y4uRI
+#   vimeo.fuzzy.replayweb.page/video/347119375
+#   vimeo-cdn.fuzzy.replayweb.page/01/4423/13/347119375/1398505169.mp4
+#   example.com/path.txt  (from example.com/path.txt?<epoch-ts>)
+FUZZY_RULES: list[tuple[re.Pattern[str], str]] = [
+    (
+        re.compile(
+            r"^(?:www\.)?youtube(?:-nocookie)?\.com/get_video_info\?.*"
+            r"(?:\?|&)?video_id=([^&]+).*$"
+        ),
+        r"youtube.fuzzy.replayweb.page/get_video_info?video_id=\1",
+    ),
+    (
+        re.compile(
+            r"^(?:www\.)?youtube(?:-nocookie)?\.com/youtubei/v1/player\?.*"
+            r"videoId=([^&]+).*$"
+        ),
+        r"youtube.fuzzy.replayweb.page/youtubei/v1/player?videoId=\1",
+    ),
+    (
+        re.compile(r"^[^/?]*googlevideo\.com/videoplayback\?.*id=([^&]+).*$"),
+        r"youtube.fuzzy.replayweb.page/videoplayback?id=\1",
+    ),
+    (
+        re.compile(r"^player\.vimeo\.com/video/(\d+)(?:\?.*)?$"),
+        r"vimeo.fuzzy.replayweb.page/video/\1",
+    ),
+    (
+        re.compile(r"^[^/?]*(?:vimeocdn|vod-progressive|vod-adaptive)[^/?]*/"
+                   r"(?:.*[^\d/])?/?((?:\d+/)+\d+\.mp4)(?:\?.*)?$"),
+        r"vimeo-cdn.fuzzy.replayweb.page/\1",
+    ),
+    # `?<digits>` cache-buster: query that is purely numeric collapses
+    # (reference tests/test_warc_to_zim.py:512-513 "timestamp fuzzy match",
+    #  verify_warc_and_zim re.sub(r"\?\d+$", "?", url)).
+    (re.compile(r"^([^?]*)\?\d+$"), r"\1"),
+]
+
+
+def canonicalize(url: str | None) -> str | None:
+    """URL → ZimPath-style canonical key, or None for non-HTTP(S)/bad URLs.
+
+    Reference: converter.py:505 ``ArticleUrlRewriter.normalize(HttpUrl(url))``;
+    non-HTTP schemes are filtered upstream (converter.py:501-503) — here we
+    return None so callers can filter on nullity.
+    """
+    if not url:
+        return None
+    try:
+        parts = urlsplit(url)
+    except ValueError:
+        return None
+    if parts.scheme not in ("http", "https"):
+        return None
+    host = parts.hostname
+    if not host:
+        return None
+    try:
+        host = host.encode("idna").decode("ascii") if not host.isascii() else host
+    except UnicodeError:
+        return None
+    host = host.lower().rstrip(".")
+    path = unquote(parts.path) or "/"
+    query = unquote(parts.query)
+    key = host + path + (("?" + query) if query else "")
+    for pattern, repl in FUZZY_RULES:
+        new_key, n = pattern.subn(repl, key)
+        if n:
+            key = new_key
+            break
+    if key.endswith("?"):
+        key = key[:-1]
+    return key
+
+
+def url_host(url: str | None) -> str | None:
+    """Registered host of an HTTP(S) URL (lowercased, IDNA-encoded), else None."""
+    if not url:
+        return None
+    try:
+        parts = urlsplit(url)
+        host = parts.hostname
+    except ValueError:
+        return None
+    if not host:
+        return None
+    try:
+        host = host.encode("idna").decode("ascii") if not host.isascii() else host
+    except UnicodeError:
+        return None
+    return host.lower().rstrip(".")
