@@ -1,0 +1,164 @@
+"""Distributed operators vs the sequential oracle (datagen golden columns +
+the pure-python reference-shaped fixpoint). These are the order-dependent
+semantics that parallelism most easily breaks (SURVEY §7 hard part (b))."""
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from warc2zim_spark.operators.gather import (
+    date_range,
+    expected_items,
+    main_page_candidate,
+    warcinfo_software,
+)
+from warc2zim_spark.operators.items import items_table, revisit_aliases
+from warc2zim_spark.operators.records import content_records, load_records
+from warc2zim_spark.operators.redirects import (
+    kept_redirects,
+    redirect_edges,
+    resolve_fixpoint,
+)
+from warc2zim_spark.sources.datagen import sequential_redirect_fixpoint
+
+
+@pytest.fixture(scope="module")
+def content(spark, webdata):
+    df = content_records(load_records(spark, webdata)).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def golden_records(webdata):
+    return pq.read_table(f"{webdata}/warc_records.parquet").to_pandas()
+
+
+class TestCanonicalization:
+    def test_zim_path_matches_golden(self, content, golden_records):
+        """Engine-computed zim_path (pairing → urlkey → surt UDF) must equal
+        the generator's golden column on every content row."""
+        got = {
+            (r["file_seq"], r["rec_seq"]): r["zim_path"]
+            for r in content.select("file_seq", "rec_seq", "zim_path").collect()
+        }
+        checked = 0
+        for _, row in golden_records.iterrows():
+            key = (row.file_seq, row.rec_seq)
+            if key in got:
+                assert got[key] == row.zim_path_g, (key, row.url)
+                checked += 1
+        assert checked == len(got) > 0
+
+    def test_non_http_and_empty_filtered(self, content):
+        urls = [r.url for r in content.select("url").collect()]
+        assert all(u.startswith(("http://", "https://")) for u in urls)
+
+
+class TestFirstWinsDedup:
+    def test_no_duplicate_paths(self, spark, content):
+        items = items_table(content)
+        dup = items.groupBy("zim_path").count().filter(F.col("count") > 1).count()
+        assert dup == 0
+
+    def test_first_occurrence_wins(self, content):
+        """Duplicate-url late rows (the generator's LATE DUPLICATE payloads)
+        must lose: the kept row per path is the min (file_seq, rec_seq)."""
+        items = items_table(content)
+        firsts = (
+            content.filter(F.col("rec_type") == "response")
+            .filter(F.col("status").isin(200, 201, 202, 203))
+            .filter(F.length("payload") > 0)
+            .groupBy("zim_path")
+            .agg(F.min(F.struct("file_seq", "rec_seq")).alias("first"))
+            .select("zim_path", F.col("first.file_seq").alias("ffs"), F.col("first.rec_seq").alias("frs"))
+        )
+        joined = items.join(firsts, "zim_path")
+        mismatches = joined.filter(
+            (F.col("file_seq") != F.col("ffs")) | (F.col("rec_seq") != F.col("frs"))
+        ).count()
+        assert mismatches == 0
+
+    def test_status_gate(self, content):
+        items = items_table(content)
+        statuses = {r["status"] for r in items.select("status").distinct().collect()}
+        assert statuses <= {200, 201, 202, 203}
+        paths = {r.zim_path for r in items.select("zim_path").collect()}
+        assert "statuses.example/200-response" in paths
+        for bad in (204, 206, 300, 303, 304, 305, 306, 400, 404, 500, 0):
+            assert f"statuses.example/{bad}-response" not in paths
+
+
+class TestRedirectFixpoint:
+    def test_matches_sequential_reference_algorithm(self, spark, content):
+        edges_df = redirect_edges(content).cache()
+        expected_df = expected_items(content).cache()
+        edges = {r.src_path: r.tgt_path for r in edges_df.collect()}
+        expected = {r.zim_path for r in expected_df.collect()}
+        kept_seq, expected_seq = sequential_redirect_fixpoint(edges, expected)
+
+        verdicts = resolve_fixpoint(edges_df, expected_df).collect()
+        kept_spark = {r.src_path for r in verdicts if r.kept}
+        assert kept_spark == set(kept_seq.keys())
+
+        kept_df = kept_redirects(edges_df, expected_df)
+        assert {(r.src_path, r.tgt_path) for r in kept_df.collect()} == set(kept_seq.items())
+
+    def test_known_cases(self, content):
+        edges_df = redirect_edges(content)
+        expected_df = expected_items(content)
+        verdict = {r.src_path: r.kept for r in resolve_fixpoint(edges_df, expected_df).collect()}
+        assert verdict["redir.example/ok-internal"] is True
+        assert verdict["redir.example/chain-a"] is True
+        assert verdict["redir.example/loop-a"] is False
+        assert verdict["redir.example/loop-b"] is False
+        assert verdict["redir.example/external-missing"] is False
+        assert verdict["redir.example/also-item"] is False  # src already expected
+        # self-redirects never enter the edge map
+        assert "redir.example/loop-self" not in verdict
+        assert "redir.example/http-to-https" not in verdict
+
+
+class TestPairing:
+    def test_post_urlkey_matches_golden(self, content, golden_records):
+        """Responses paired with adjacent POST requests get the synthesized
+        urlkey — engine pairing (lag window) vs generator golden."""
+        golden_urlkeys = {
+            (row.file_seq, row.rec_seq): row.urlkey_g
+            for _, row in golden_records.iterrows()
+            if row.urlkey_g is not None and row.rec_type == "response"
+        }
+        assert len(golden_urlkeys) > 0
+        got = {
+            (r["file_seq"], r["rec_seq"]): r["effective_url"]
+            for r in content.select("file_seq", "rec_seq", "effective_url").collect()
+        }
+        for key, urlkey in golden_urlkeys.items():
+            assert got.get(key) == urlkey, key
+
+
+class TestAliases:
+    def test_revisit_aliases(self, content):
+        items = items_table(content)
+        aliases = revisit_aliases(content, items)
+        rows = aliases.collect()
+        assert len(rows) > 0
+        item_paths = {r.zim_path for r in items.select("zim_path").collect()}
+        for r in rows:
+            assert r.alias_path not in item_paths  # anti-join holds
+            assert r.alias_path != r.target_path   # self-refs skipped
+
+
+class TestGatherAggregates:
+    def test_date_range_spans_days(self, content):
+        row = date_range(content).collect()[0]
+        assert (row.warc_end - row.warc_start).days >= 2
+
+    def test_main_page(self, content):
+        row = main_page_candidate(content).collect()[0]
+        assert row.zim_path is not None
+
+    def test_warcinfo_software(self, spark, webdata):
+        records = load_records(spark, webdata)
+        row = warcinfo_software(records).collect()[0]
+        assert row.software == "synthetic-crawler 1.0"

@@ -1,0 +1,191 @@
+"""BFS crawl-wave loop: the north-star frontier driver.
+
+Iterative batch (NOT Structured Streaming — SURVEY §2.8): each wave
+  1. candidates = frontier rows (url, surt_key, host, hops, score)
+  2. robots gate → politeness budget → global priority + wave budget
+  3. "fetch" = join scheduled URLs against the page table (the sandbox's
+     stand-in for HTTP; at production scale this is the fetcher boundary)
+  4. transform: extract links from fetched pages → new candidates
+     (hops+1, inherited score decayed)
+  5. seen-filter update: scheduled keys enter the seen set (exact mode) or
+     the partitioned bloom (scale mode)
+  6. checkpoint wave output + metrics to parquet (Iceberg-shaped layout) —
+     resumable: ``resume_crawl`` restarts from the last committed wave.
+
+Determinism contract (north_rule): the scheduled set + ordering per wave is
+a pure function of (seed list, politeness budget, page table) — independent
+of parallelism. Everything order-sensitive goes through explicit sort keys;
+ties broken by surt_key.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from warc2zim_spark.frontier.politeness import politeness_budget, prioritize
+from warc2zim_spark.frontier.politeness import robots_allowed
+from warc2zim_spark.frontier.seenfilter import unseen_exact
+from warc2zim_spark.functions import udfs
+
+SCORE_DECAY = 0.5
+
+
+def _normalize(frontier: DataFrame) -> DataFrame:
+    return (
+        frontier.withColumn("surt_key", udfs.surt_key(F.col("url")))
+        .filter(F.col("surt_key").isNotNull())
+        .withColumn("host", udfs.host_of(F.col("url")))
+        .filter(F.col("host").isNotNull())
+    )
+
+
+def crawl_wave(
+    frontier: DataFrame,
+    seen: DataFrame,
+    pages: DataFrame,
+    robots: DataFrame,
+    host_budget: int = 8,
+    wave_budget: int = 1000,
+) -> tuple[DataFrame, DataFrame]:
+    """One wave → (scheduled, next_frontier_candidates).
+
+    ``frontier``: (url, surt_key, host, hops, score) candidates.
+    ``seen``: one column ``surt_key``.
+    ``pages``: the web-page table (url, html, ...) standing in for fetches.
+    """
+    # dedup in-wave candidates: best (hops, score) per surt_key, then anti-join seen
+    best = (
+        frontier.groupBy("surt_key")
+        .agg(
+            F.min("hops").alias("hops"),
+            F.max("score").alias("score"),
+            F.min("url").alias("url"),
+            F.first("host").alias("host"),
+        )
+    )
+    unseen = unseen_exact(best, seen)
+    allowed = robots_allowed(unseen, robots)
+    polite = politeness_budget(allowed, robots, host_budget=host_budget)
+    scheduled = prioritize(polite, wave_budget=wave_budget)
+
+    # "fetch": canonical-key join against the page table; extract links
+    page_keyed = pages.select(
+        udfs.surt_key(F.col("url")).alias("surt_key"),
+        F.col("html"),
+    ).filter(F.col("surt_key").isNotNull())
+    fetched = scheduled.join(page_keyed, "surt_key", "left")
+    html_str = F.decode(F.col("html"), "utf-8")
+    links = (
+        fetched.filter(F.col("html").isNotNull())
+        .select(
+            "surt_key", "url", "hops", "score",
+            F.explode(udfs.extract_meta(html_str)["links"]).alias("href"),
+        )
+        .withColumn("dst_url", udfs.resolve_url(F.col("url"), F.col("href")))
+        .filter(F.col("dst_url").isNotNull())
+        .select(
+            F.col("dst_url").alias("url"),
+            (F.col("hops") + 1).alias("hops"),
+            (F.col("score") * SCORE_DECAY).alias("score"),
+        )
+    )
+    return scheduled, _normalize(links)
+
+
+def run_crawl(
+    spark: SparkSession,
+    seeds: DataFrame,
+    pages: DataFrame,
+    robots: DataFrame,
+    checkpoint_dir: str,
+    max_waves: int = 4,
+    host_budget: int = 8,
+    wave_budget: int = 1000,
+    start_wave: int = 0,
+    initial_seen: DataFrame | None = None,
+    initial_frontier: DataFrame | None = None,
+) -> DataFrame:
+    """Run (or resume) the BFS crawl; returns the full schedule
+    (wave, url, surt_key, host, hops, score) read back from the checkpoint
+    directory — the durable artifact, matching what a restarted job sees."""
+    ckpt = Path(checkpoint_dir)
+    ckpt.mkdir(parents=True, exist_ok=True)
+    frontier = initial_frontier if initial_frontier is not None else _normalize(seeds)
+    seen = (
+        initial_seen
+        if initial_seen is not None
+        else spark.createDataFrame([], "surt_key string")
+    )
+    for wave in range(start_wave, max_waves):
+        scheduled, next_frontier = crawl_wave(
+            frontier, seen, pages, robots,
+            host_budget=host_budget, wave_budget=wave_budget,
+        )
+        out = scheduled.select(
+            F.lit(wave).alias("wave"), "url", "surt_key", "host", "hops",
+            F.round("score", 9).alias("score"),
+        ).cache()
+        n_scheduled = out.count()
+        # idempotent wave write (overwrite → safe re-run after partial failure)
+        out.write.mode("overwrite").parquet(str(ckpt / f"wave={wave}"))
+        metrics = {
+            "wave": wave,
+            "scheduled": n_scheduled,
+            "hosts": out.select("host").distinct().count(),
+        }
+        (ckpt / f"wave={wave}._metrics.json").write_text(json.dumps(metrics))
+        (ckpt / f"wave={wave}._SUCCESS_WAVE").write_text("ok")
+        if n_scheduled == 0:
+            break
+        seen = seen.union(out.select("surt_key")).distinct().localCheckpoint(eager=True)
+        frontier = next_frontier.localCheckpoint(eager=True)
+    waves = sorted(int(p.name.split("=")[1]) for p in ckpt.glob("wave=*") if p.is_dir())
+    return (
+        spark.read.parquet(*[str(ckpt / f"wave={w}") for w in waves])
+        if waves
+        else spark.createDataFrame([], "wave int, url string, surt_key string, host string, hops int, score double")
+    )
+
+
+def last_committed_wave(checkpoint_dir: str) -> int:
+    """Resume point: highest wave with a success marker, or -1."""
+    ckpt = Path(checkpoint_dir)
+    done = [
+        int(p.name.split("=")[1].split(".")[0])
+        for p in ckpt.glob("wave=*._SUCCESS_WAVE")
+    ]
+    return max(done) if done else -1
+
+
+def resume_crawl(
+    spark: SparkSession,
+    seeds: DataFrame,
+    pages: DataFrame,
+    robots: DataFrame,
+    checkpoint_dir: str,
+    max_waves: int = 4,
+    **kwargs,
+) -> DataFrame:
+    """Restart after interruption: rebuild seen-set + frontier from committed
+    waves, continue from the next wave (north_rule resumability)."""
+    last = last_committed_wave(checkpoint_dir)
+    if last < 0:
+        return run_crawl(spark, seeds, pages, robots, checkpoint_dir,
+                         max_waves=max_waves, **kwargs)
+    ckpt = Path(checkpoint_dir)
+    done = spark.read.parquet(*[str(ckpt / f"wave={w}") for w in range(last + 1)])
+    seen = done.select("surt_key").distinct()
+    # recompute the frontier produced by the last committed wave
+    _, frontier = crawl_wave(
+        done.filter(F.col("wave") == last).select("url", "surt_key", "host", "hops", "score"),
+        seen.join(done.filter(F.col("wave") == last).select("surt_key"), "surt_key", "left_anti"),
+        pages, robots, **{k: v for k, v in kwargs.items() if k in ("host_budget", "wave_budget")},
+    )
+    return run_crawl(
+        spark, seeds, pages, robots, checkpoint_dir, max_waves=max_waves,
+        start_wave=last + 1, initial_seen=seen, initial_frontier=frontier, **kwargs,
+    )

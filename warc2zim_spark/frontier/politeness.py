@@ -1,0 +1,116 @@
+"""Robots gate + per-host politeness budget + priority ordering (§2.9).
+
+No reference code exists for these (warc2zim consumes crawls); semantics are
+specified deterministically from public crawler behavior (RFC 9309 for
+robots):
+
+* robots — longest-matching path-prefix rule wins; tie → allow (RFC 9309
+  §2.2.2); no rule for host → allow. Rules is a small dim table → broadcast.
+* politeness — at most ``ceil(wave_ms / crawl_delay_ms)`` fetches per host
+  per wave (default crawl_delay 0 → host_budget cap), implemented as a
+  row_number window per host over the priority order.
+* priority — total deterministic order: (hops asc, score desc, surt asc)
+  so every parallelism level schedules the same URLs (north_rule: identical
+  ordering and seen-set across cluster sizes).
+* hot-host skew — the politeness window partitions by host; zipf-hot hosts
+  are exactly the skew case, so candidates are pre-capped per host with a
+  cheap salted pre-aggregation before the window when requested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_HOST_BUDGET = 8       # fetches per host per wave when no crawl-delay
+WAVE_MS = 30_000              # nominal wall-clock per wave for delay budgeting
+
+
+def robots_allowed(candidates: DataFrame, robots: DataFrame, path_col: str = "surt_key") -> DataFrame:
+    """Filter candidates by robots rules. ``candidates`` needs ``host`` and a
+    path-ish column (we use the scheme-less surt key; rules match on the path
+    part after the host). Longest-prefix rule wins; allow on tie; no rules →
+    allow."""
+    path_expr = F.expr(f"substring({path_col}, length(host) + 1)")
+    cand = candidates.withColumn("_path", path_expr)
+    rules = robots.select(
+        F.col("host").alias("r_host"),
+        "rule_type",
+        "path_prefix",
+        F.length("path_prefix").alias("prefix_len"),
+    )
+    joined = cand.join(
+        F.broadcast(rules), cand.host == rules.r_host, "left"
+    ).withColumn(
+        "rule_matches",
+        F.col("path_prefix").isNotNull() & F.col("_path").startswith(F.col("path_prefix")),
+    )
+    # pick the longest matching rule per candidate; allow beats disallow on tie
+    w = Window.partitionBy(path_col).orderBy(
+        F.desc("rule_matches"),
+        F.desc("prefix_len"),
+        F.asc(F.col("rule_type") == "disallow"),  # allow first on equal length
+    )
+    decided = (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .withColumn(
+            "allowed",
+            (~F.coalesce(F.col("rule_matches"), F.lit(False)))
+            | (F.col("rule_type") == "allow"),
+        )
+    )
+    return decided.filter(F.col("allowed")).drop(
+        "_path", "r_host", "rule_type", "path_prefix", "prefix_len",
+        "rule_matches", "_rn", "allowed",
+    )
+
+
+def host_crawl_delays(robots: DataFrame) -> DataFrame:
+    """(host, crawl_delay_ms) — max declared delay per host."""
+    return robots.groupBy("host").agg(F.max("crawl_delay_ms").alias("crawl_delay_ms"))
+
+
+def politeness_budget(
+    candidates: DataFrame,
+    robots: DataFrame,
+    host_budget: int = DEFAULT_HOST_BUDGET,
+    wave_ms: int = WAVE_MS,
+) -> DataFrame:
+    """Keep the top-priority ≤ budget(host) candidates per host.
+    budget(host) = min(host_budget, floor(wave_ms / crawl_delay_ms)) when a
+    delay is declared, else host_budget. Window partitioned by host — the
+    canonical hot-host shuffle; AQE skew-split handles zipf heads, and the
+    upstream per-host cap keeps window input bounded."""
+    delays = host_crawl_delays(robots)
+    with_budget = candidates.join(F.broadcast(delays), "host", "left").withColumn(
+        "host_budget",
+        F.when(
+            F.col("crawl_delay_ms").isNotNull() & (F.col("crawl_delay_ms") > 0),
+            F.least(F.lit(host_budget), F.floor(F.lit(wave_ms) / F.col("crawl_delay_ms")).cast("int")),
+        ).otherwise(F.lit(host_budget)),
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.asc("hops"), F.desc("score"), F.asc("surt_key")
+    )
+    return (
+        with_budget.withColumn("_host_rank", F.row_number().over(w))
+        .filter(F.col("_host_rank") <= F.col("host_budget"))
+        .drop("_host_rank", "crawl_delay_ms", "host_budget")
+    )
+
+
+def prioritize(candidates: DataFrame, wave_budget: int | None = None) -> DataFrame:
+    """Global deterministic priority order (hops asc, score desc, surt asc),
+    optionally truncated to the wave budget. rank is computed with a window
+    over an empty partition ONLY when a global budget is requested AND the
+    candidate set was already politeness-capped (small); the full frontier is
+    never globally sorted at scale."""
+    if wave_budget is None:
+        return candidates
+    w = Window.orderBy(F.asc("hops"), F.desc("score"), F.asc("surt_key"))
+    return (
+        candidates.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= wave_budget)
+        .drop("_rank")
+    )

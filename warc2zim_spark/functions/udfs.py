@@ -1,0 +1,191 @@
+"""Arrow-batched pandas UDFs over the frozen kernels.
+
+Every UDF here is the vectorized twin of a kernel in
+``warc2zim_spark.kernels`` — Arrow batch in, Arrow batch out, no row-at-a-time
+Python UDFs anywhere (BASELINE input_hint requirement). Kernels that are
+intrinsically per-string (URL parse, HTML parse) still run per element inside
+the batch, which is the standard Arrow-vectorized shape; heavy numeric
+kernels (minhash/simhash) use numpy inside.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from warc2zim_spark.kernels import decode as _decode
+from warc2zim_spark.kernels import htmlmeta as _htmlmeta
+from warc2zim_spark.kernels import posturl as _posturl
+from warc2zim_spark.kernels import sketches as _sketches
+from warc2zim_spark.kernels import surt as _surt
+from warc2zim_spark.kernels import textextract as _textextract
+from warc2zim_spark.kernels import textstats as _textstats
+from warc2zim_spark.kernels.rewritemode import rewrite_jsonp as _rewrite_jsonp
+
+
+@pandas_udf(StringType())
+def surt_key(urls: pd.Series) -> pd.Series:
+    """URL → canonical ZimPath key (kernels/surt.py, SURVEY §1.1.3)."""
+    return urls.map(_surt.canonicalize, na_action="ignore")
+
+
+@pandas_udf(StringType())
+def host_of(urls: pd.Series) -> pd.Series:
+    return urls.map(_surt.url_host, na_action="ignore")
+
+
+@pandas_udf(StringType())
+def resolve_redirect_key(urls: pd.Series, locations: pd.Series) -> pd.Series:
+    """canonicalize(urljoin(url, location)) — P10/J5 target resolution
+    (converter.py:524-526)."""
+    from urllib.parse import urljoin
+
+    def resolve(url, location):
+        if url is None or location is None or pd.isna(url) or pd.isna(location):
+            return None
+        try:
+            return _surt.canonicalize(urljoin(url, str(location).strip()))
+        except ValueError:
+            return None
+
+    return pd.Series([resolve(u, l) for u, l in zip(urls, locations)])
+
+
+@pandas_udf(StringType())
+def resolve_url(base_urls: pd.Series, hrefs: pd.Series) -> pd.Series:
+    """urljoin(base, href) — C8 (absolute URL of an extracted link)."""
+    from urllib.parse import urljoin
+
+    def resolve(base, href):
+        if base is None or href is None:
+            return None
+        href = str(href).strip()
+        if href.startswith(("#", "javascript:", "data:", "mailto:")):
+            return None
+        try:
+            return urljoin(base, href)
+        except ValueError:
+            return None
+
+    return pd.Series([resolve(b, h) for b, h in zip(base_urls, hrefs)])
+
+
+@pandas_udf(StringType())
+def canonical_post_url(
+    urls: pd.Series, methods: pd.Series, mimes: pd.Series,
+    bodies: pd.Series, lengths: pd.Series,
+) -> pd.Series:
+    """POST/PUT urlkey synthesis — J2 (kernels/posturl.py)."""
+    out = []
+    for url, method, mime, body, length in zip(urls, methods, mimes, bodies, lengths):
+        out.append(
+            _posturl.canonical_request_url(
+                url if url is not None else None,
+                method if method is not None else None,
+                mime if mime is not None else None,
+                bytes(body) if body is not None else None,
+                int(length) if length is not None and not pd.isna(length) else None,
+            )
+        )
+    return pd.Series(out)
+
+
+@pandas_udf(StringType())
+def decode_payload(payloads: pd.Series, http_charsets: pd.Series, modes: pd.Series) -> pd.Series:
+    """3-tier charset decode — C2 (kernels/decode.py); None on failure (S10
+    quarantine semantics). ``mode``='html' enables the content-declaration
+    tier (rewriting.py:98-99)."""
+    out = []
+    for payload, charset, mode in zip(payloads, http_charsets, modes):
+        if payload is None:
+            out.append(None)
+            continue
+        out.append(
+            _decode.to_string_or_none(
+                bytes(payload),
+                charset if charset is not None else None,
+                ignore_content_header_charsets=(mode != "html"),
+            )
+        )
+    return pd.Series(out)
+
+
+@pandas_udf(StringType())
+def extract_text(htmls: pd.Series) -> pd.Series:
+    """Frozen HTML→text — C12, the byte-identical invariant."""
+    return htmls.map(_textextract.extract_text, na_action="ignore")
+
+
+_META_SCHEMA = StructType(
+    [
+        StructField("title", StringType()),
+        StructField("lang_decl", StringType()),
+        StructField("icons", ArrayType(StringType())),
+        StructField("links", ArrayType(StringType())),
+        StructField("js_modules", ArrayType(StringType())),
+        StructField("base_href", StringType()),
+    ]
+)
+
+
+@pandas_udf(_META_SCHEMA)
+def extract_meta(htmls: pd.Series) -> pd.DataFrame:
+    """One-pass HTML meta: title/lang/icons/links/js-modules — A7/A8/C10/C3."""
+    rows = [_htmlmeta.extract_meta(h) for h in htmls]
+    return pd.DataFrame(
+        {
+            "title": [r["title"] for r in rows],
+            "lang_decl": [r["lang_decl"] for r in rows],
+            "icons": [r["icons"] for r in rows],
+            "links": [r["links"] for r in rows],
+            "js_modules": [r["js_modules"] for r in rows],
+            "base_href": [r["base_href"] for r in rows],
+        }
+    )
+
+
+@pandas_udf(StringType())
+def jsonp_rewrite(contents: pd.Series, urls: pd.Series) -> pd.Series:
+    """C6/C7 jsonp/json rewrite (reference-quirk-faithful)."""
+    return pd.Series([_rewrite_jsonp(c, u) for c, u in zip(contents, urls)])
+
+
+# --- training-data kernels --------------------------------------------------
+
+@pandas_udf(ArrayType(LongType()))
+def minhash_sig(texts: pd.Series) -> pd.Series:
+    return texts.map(lambda t: _sketches.minhash_signature(t), na_action="ignore")
+
+
+@pandas_udf(ArrayType(LongType()))
+def minhash_band_keys(sigs: pd.Series) -> pd.Series:
+    return sigs.map(lambda s: _sketches.minhash_bands(list(s)), na_action="ignore")
+
+
+@pandas_udf(LongType())
+def simhash(texts: pd.Series) -> pd.Series:
+    return texts.map(_sketches.simhash64, na_action="ignore").astype("int64")
+
+
+@pandas_udf(ArrayType(LongType()))
+def fingerprint(texts: pd.Series) -> pd.Series:
+    return texts.map(_textstats.rolling_fingerprint, na_action="ignore")
+
+
+@pandas_udf(StringType())
+def langid(texts: pd.Series) -> pd.Series:
+    return texts.map(_textstats.detect_language, na_action="ignore")
+
+
+@pandas_udf(ArrayType(StringType()))
+def word_shingles(texts: pd.Series) -> pd.Series:
+    return texts.map(lambda t: sorted(_sketches.word_ngrams(t, 3)), na_action="ignore")

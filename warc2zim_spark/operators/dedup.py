@@ -1,0 +1,192 @@
+"""Deduplication operators for training-data pipelines.
+
+Five dedup families over a document table (id, text), each expressed
+Spark-first:
+
+* exact        — sha256(text) groupBy; keep min-id per group (deterministic)
+* minhash-LSH  — shingle → minhash signature (Arrow UDF) → band keys →
+                 explode → self-join on band bucket → verify exact Jaccard on
+                 candidates only (the Broder/LSH standard; candidate
+                 generation is linear in docs × bands, never O(n²))
+* simhash      — 64-bit simhash, exact-match buckets + hamming-verify pairs
+                 found via 4×16-bit block keys (Charikar + block-permuted
+                 indexing so hamming ≤ 3 pairs always share a block)
+* n-gram Jaccard — word-3-gram sets with length-bucket blocking (the exact
+                 verifier used standalone at small scale)
+* digest       — WARC payload-digest revisit dedup (J4's north-star
+                 generalization: self-join on payload_digest)
+
+Scale notes: every self-join is an equi-join on a hash-bucket key (shuffle
+hash join, AQE-splittable); no cross joins anywhere. Band buckets with
+pathological sizes (all-identical corpora) are capped by a per-bucket limit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from warc2zim_spark.functions import udfs
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical texts: (content_hash, n_docs, keep_id,
+    dup_ids). Deterministic keeper = min id."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.sha2(F.col(text_col), 256).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keep_id"),
+            F.sort_array(F.collect_list("doc_id")).alias("all_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def minhash_candidates(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """LSH candidate pairs (id_a < id_b) via banded minhash signatures."""
+    sigs = docs.select(
+        F.col(id_col).alias("doc_id"),
+        udfs.minhash_sig(F.col(text_col)).alias("sig"),
+    ).withColumn("band_keys", udfs.minhash_band_keys(F.col("sig")))
+    exploded = sigs.select(
+        "doc_id", F.posexplode("band_keys").alias("band_no", "band_key")
+    )
+    # cap pathological buckets (e.g. empty-text clusters) to bound join fanout
+    bucket_sizes = exploded.groupBy("band_no", "band_key").count()
+    capped = exploded.join(
+        bucket_sizes.filter(F.col("count") <= max_bucket).select("band_no", "band_key"),
+        ["band_no", "band_key"],
+        "left_semi",
+    )
+    left = capped.select("band_no", "band_key", F.col("doc_id").alias("id_a"))
+    right = capped.select("band_no", "band_key", F.col("doc_id").alias("id_b"))
+    return (
+        left.join(right, ["band_no", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """LSH candidates verified with exact 3-gram Jaccard ≥ threshold."""
+    cands = minhash_candidates(docs, id_col, text_col)
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        udfs.word_shingles(F.col(text_col)).alias("grams"),
+    )
+    a = grams.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("grams_a"))
+    b = grams.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("grams_b"))
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    union = F.size("grams_a") + F.size("grams_b") - inter
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(1.0)),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    threshold: float = 0.8, length_bucket: int = 64,
+) -> DataFrame:
+    """Exact n-gram Jaccard with length blocking: docs only compare within
+    adjacent length buckets (|len_a − len_b| bounded — a Jaccard ≥ 0.8 pair
+    can't differ in length by >25%, so same-or-neighbor bucket suffices)."""
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        udfs.word_shingles(F.col(text_col)).alias("grams"),
+        (F.length(text_col) / length_bucket).cast("int").alias("bucket"),
+    )
+    a = grams.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("grams_a"),
+                     F.col("bucket").alias("bucket_a"))
+    # each right row registers in its own + neighbor buckets
+    b = (
+        grams.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("grams_b"),
+                     F.explode(F.array(F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1)).alias("bucket_a"))
+    )
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    union = F.size("grams_a") + F.size("grams_b") - inter
+    return (
+        a.join(b, "bucket_a")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "jaccard",
+            F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(1.0)),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .distinct()
+    )
+
+
+def simhash_near_duplicates(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dups: pairs with hamming(sim_a, sim_b) ≤ max_hamming.
+    Blocking: split the 64-bit hash into 4×16-bit blocks — any pair within
+    hamming ≤ 3 agrees on ≥1 block (pigeonhole), so block-equality joins
+    find all such pairs without O(n²)."""
+    sims = docs.select(
+        F.col(id_col).alias("doc_id"),
+        udfs.simhash(F.col(text_col)).alias("sim"),
+    )
+    blocks = sims.select(
+        "doc_id", "sim",
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned(F.col("sim"), k * 16).bitwiseAND(F.lit(0xFFFF))
+                for k in range(4)
+            ])
+        ).alias("block_no", "block_val"),
+    )
+    a = blocks.select(F.col("doc_id").alias("id_a"), F.col("sim").alias("sim_a"),
+                      "block_no", "block_val")
+    b = blocks.select(F.col("doc_id").alias("id_b"), F.col("sim").alias("sim_b"),
+                      "block_no", "block_val")
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        a.join(b, ["block_no", "block_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.alias("hamming"), "sim_a", "sim_b")
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def digest_duplicates(records: DataFrame) -> DataFrame:
+    """WARC payload-digest dedup (north-star J4 generalization): groups of
+    response records sharing a payload digest; first in stream order is the
+    original, the rest are revisit-equivalent."""
+    w_cols = ["payload_digest"]
+    return (
+        records.filter(F.col("rec_type") == "response")
+        .filter(F.col("payload_digest").isNotNull())
+        .groupBy(*w_cols)
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min(F.struct("file_seq", "rec_seq")).alias("first"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .select(
+            "payload_digest",
+            "n_copies",
+            F.col("first.file_seq").alias("orig_file_seq"),
+            F.col("first.rec_seq").alias("orig_rec_seq"),
+        )
+    )

@@ -1,0 +1,101 @@
+"""Pass-2: the deduplicated item/redirect/alias tables (the flagship query).
+
+Reference: converter.py:942-1033 ``add_items_for_warc_record`` + 439-457
+(redirect + alias sinks). Semantics reproduced:
+
+* first-wins URL dedup in (file_seq, rec_seq) order (A2; converter.py:969-971
+  ``added_zim_items`` probe — a window row_number, NOT dropDuplicates)
+* status whitelist (P8), redirects excluded from items (P9 → separate sink)
+* self-redirect drop (P10, converter.py:926-940)
+* include-domains filter (P7, converter.py:960-967) — host endswith any listed
+* empty-content skip (P11, converter.py:1011-1022)
+* revisit → alias with self-reference skip + anti-join vs added items
+  (J4, converter.py:446-457, 1026-1033)
+
+Dedup-window note (scale): the window partitions by zim_path — the dedup
+shuffle is hash(zim_path) across the cluster; hot paths don't exist by
+construction (a path is a key), so no salting needed here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from warc2zim_spark.functions import udfs
+from warc2zim_spark.functions.expressions import (
+    is_processable_status,
+    is_redirect_status,
+)
+
+
+def first_wins(df: DataFrame, key: str = "zim_path") -> DataFrame:
+    """A2 — first record per key in global stream order."""
+    w = Window.partitionBy(key).orderBy("file_seq", "rec_seq")
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def with_include_domains(df: DataFrame, include_domains: list[str] | None) -> DataFrame:
+    """P7 — netloc endswith any listed domain (subdomains included)."""
+    if not include_domains:
+        return df
+    host = udfs.host_of(F.col("effective_url"))
+    cond = F.lit(False)
+    for domain in include_domains:
+        cond = cond | host.endswith(domain.lower())
+    return df.filter(cond)
+
+
+def item_candidates(content: DataFrame, include_domains: list[str] | None = None) -> DataFrame:
+    """Response rows that may become items: processable, non-redirect,
+    non-self-redirect, non-empty payload."""
+    is_self_redirect = (
+        F.col("status").cast("string").startswith("3")
+        & (F.col("status") != 300)
+        & F.col("http_location").isNotNull()
+        & (
+            udfs.resolve_redirect_key(F.col("effective_url"), F.col("http_location"))
+            == F.col("zim_path")
+        )
+    )
+    df = (
+        content.filter(F.col("rec_type") == "response")
+        .filter(is_processable_status(F.col("status")))
+        .filter(~is_redirect_status(F.col("status")))
+        .filter(F.coalesce(F.length(F.col("payload")), F.lit(0)) > 0)
+        .filter(~F.coalesce(is_self_redirect, F.lit(False)))
+    )
+    return with_include_domains(df, include_domains)
+
+
+def items_table(content: DataFrame, include_domains: list[str] | None = None) -> DataFrame:
+    """S5 — the deduplicated item table (zim_path, url, mime, status,
+    payload_len, file_seq, rec_seq)."""
+    return (
+        first_wins(item_candidates(content, include_domains))
+        .select(
+            "zim_path",
+            F.col("effective_url").alias("url"),
+            F.col("mime"),
+            F.col("status"),
+            F.length("payload").cast("long").alias("payload_len"),
+            "file_seq",
+            "rec_seq",
+        )
+    )
+
+
+def revisit_aliases(content: DataFrame, added_items: DataFrame) -> DataFrame:
+    """J4/S6 — alias table: first revisit per path whose Refers-To differs
+    from its own URL, minus paths already added as items."""
+    revisits = (
+        content.filter(F.col("rec_type") == "revisit")
+        .filter(F.col("refers_to_url").isNotNull())
+        .filter(F.col("refers_to_url") != F.col("url"))
+        .withColumn("target_path", udfs.surt_key(F.col("refers_to_url")))
+        .filter(F.col("target_path").isNotNull())
+    )
+    deduped = first_wins(revisits).select("zim_path", "target_path")
+    return deduped.join(
+        added_items.select("zim_path"), "zim_path", "left_anti"
+    ).select(F.col("zim_path").alias("alias_path"), "target_path")

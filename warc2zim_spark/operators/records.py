@@ -1,0 +1,113 @@
+"""Record-stream ingestion: sources, request/response pairing, projections.
+
+Scale notes (100 TB / 10^10 rows):
+* the record table is read with explicit column pruning — ``payload`` (the
+  wide binary column) is only referenced by content stages, so every metadata
+  stage scans a narrow projection (Parquet ReadSchema stays small);
+* pairing (J1/W2) is a ``lag()`` window **partitioned by file_seq** — the
+  reference pairs only *adjacent* records within one WARC file
+  (converter.py:1036-1042 iterates per file; bufferiter.py:38-54 keeps a
+  single prev_record), so the window never needs a global sort: each file's
+  records sort within their partition, thousands of files hash across the
+  cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from warc2zim_spark.functions import udfs
+from warc2zim_spark.functions.expressions import is_http_url
+
+ORDER_COLS = ["file_seq", "rec_seq"]  # W1 total order (converter.py:210-216)
+
+
+def load_records(spark: SparkSession, webdata_dir: str) -> DataFrame:
+    """S1/S3 — the record table scan. At scale this is an Iceberg/Parquet
+    table partitioned by file_seq range; here a single parquet file."""
+    return spark.read.parquet(f"{webdata_dir}/warc_records.parquet")
+
+
+def pair_requests(records: DataFrame) -> DataFrame:
+    """J1/W2 — attach the adjacent request's (method, mime, body, length) to
+    each response row, reproducing bufferiter.py:62-87 exactly:
+
+    pairable ⇔ same WARC-Target-URI ∧ (either order):
+      prev=request  ∧ this=response ∧ this.Concurrent-To == prev.Record-ID, or
+      prev=response ∧ this=request  ∧ this.Concurrent-To == prev.Record-ID
+    Only *adjacent* rows pair (single-record lookahead state machine).
+
+    Returns the input plus ``p_method/p_mime/p_body/p_length`` on response
+    rows (null when unpaired). Non-response rows pass through unchanged.
+    """
+    w = Window.partitionBy("file_seq").orderBy("rec_seq")
+    prev = {
+        c: F.lag(c).over(w)
+        for c in ("rec_type", "url", "record_id", "concurrent_to",
+                  "req_method", "req_mime", "req_body", "req_content_length")
+    }
+    nxt = {
+        c: F.lead(c).over(w)
+        for c in ("rec_type", "url", "record_id", "concurrent_to",
+                  "req_method", "req_mime", "req_body", "req_content_length")
+    }
+    prev_is_req = (
+        (prev["rec_type"] == "request")
+        & (prev["url"] == F.col("url"))
+        & (F.col("concurrent_to") == prev["record_id"])
+    )
+    next_is_req = (
+        (nxt["rec_type"] == "request")
+        & (nxt["url"] == F.col("url"))
+        & (nxt["concurrent_to"] == F.col("record_id"))
+    )
+    def pick(col: str):
+        return (
+            F.when(F.col("rec_type") != "response", F.col(col))
+            .when(prev_is_req, prev[col])
+            .when(next_is_req, nxt[col])
+        )
+    return (
+        records.withColumn("p_method", pick("req_method"))
+        .withColumn("p_mime", pick("req_mime"))
+        .withColumn("p_body", pick("req_body"))
+        .withColumn("p_length", pick("req_content_length"))
+    )
+
+
+def with_effective_url(paired: DataFrame) -> DataFrame:
+    """P1 + J2 — effective_url = synthesized POST/PUT urlkey (pandas UDF over
+    the paired request fields) else WARC-Target-URI (utils.py:52-57). The UDF
+    only runs on the small POST/PUT slice (when-guard keeps the rest
+    JVM-side)."""
+    needs_urlkey = (
+        (F.col("rec_type") == "response")
+        & F.col("p_method").isin("POST", "PUT")
+        & F.col("url").isNotNull()
+    )
+    return paired.withColumn(
+        "effective_url",
+        F.when(
+            needs_urlkey,
+            udfs.canonical_post_url(
+                F.col("url"), F.col("p_method"), F.col("p_mime"),
+                F.col("p_body"), F.col("p_length"),
+            ),
+        ).otherwise(F.col("url")),
+    )
+
+
+def content_records(records: DataFrame) -> DataFrame:
+    """P5/P6/P12 — the processable record stream: response/revisit rows with a
+    non-empty HTTP(S) URL (converter.py:943-956), effective url + canonical
+    ``zim_path`` attached. Filters are plain Catalyst predicates that push to
+    the scan; the surt UDF runs after the cheap filters only."""
+    paired = with_effective_url(pair_requests(records))
+    return (
+        paired.filter(F.col("rec_type").isin("response", "revisit"))
+        .filter(F.col("url").isNotNull() & (F.col("url") != ""))
+        .filter(is_http_url(F.col("url")))
+        .withColumn("zim_path", udfs.surt_key(F.col("effective_url")))
+        .filter(F.col("zim_path").isNotNull())
+    )

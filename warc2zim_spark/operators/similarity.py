@@ -1,0 +1,175 @@
+"""Similarity search over embedding columns (array<float>).
+
+* brute-force cosine top-k — the exact baseline: JVM-side dot products via
+  ``F.zip_with`` + ``F.aggregate`` (no Python in the loop), a broadcast join
+  of the (small) query set against the corpus, and a per-query top-k window.
+* LSH-bucketed ANN — the scale path: random-hyperplane signatures (seeded,
+  deterministic) bucket the corpus; queries probe their own bucket (plus
+  multi-probe neighbors at hamming distance 1), candidates re-ranked exactly.
+  At 10^9 vectors the bucket join replaces the all-pairs product with a
+  hash-partitioned equi-join.
+
+Embedding norms are precomputed once; cosine = dot / (norm_a * norm_b).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return df.withColumn("_norm", _norm(F.col(vec_col)))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query: (query_id, neighbor_id, cosine, rank).
+    ``queries`` is expected to be small → broadcast against the corpus."""
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("_norm").alias("c_norm"),
+    )
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("_norm").alias("q_norm"),
+    )
+    cosine = _dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(cosine, 6).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).astype(float).tolist()
+
+
+def lsh_signature_col(vec_col, planes: list[list[float]]):
+    """Random-hyperplane signature as an int column (JVM-side: one dot product
+    per plane via aggregate/zip_with, bits OR-ed into an int)."""
+    sig = F.lit(0)
+    for i, plane in enumerate(planes):
+        plane_arr = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(_dot(vec_col, plane_arr) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = sig + bit
+    return sig
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """ANN top-k: bucket by hyperplane signature, exact re-rank in-bucket.
+    With multiprobe, queries also probe all buckets at hamming distance 1
+    (n_planes extra probes) — recall jumps at the cost of (n_planes+1)×
+    candidate fanout, still linear."""
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("_norm").alias("c_norm"),
+        lsh_signature_col(F.col(vec_col), planes).alias("bucket"),
+    )
+    q_base = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("_norm").alias("q_norm"),
+        lsh_signature_col(F.col(vec_col), planes).alias("sig"),
+    )
+    if multiprobe:
+        probes = F.array(
+            F.col("sig"), *[F.col("sig").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+        )
+    else:
+        probes = F.array(F.col("sig"))
+    q = q_base.select(
+        "query_id", "q_vec", "q_norm", F.explode(probes).alias("bucket")
+    )
+    cosine = _dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(cosine, 6).alias("cosine"))
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_duplicates(
+    corpus: DataFrame,
+    threshold: float = 0.98,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ threshold),
+    LSH-bucketed: near-identical vectors share the exact bucket with
+    overwhelming probability; hamming-1 probes cover boundary cases."""
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    sigs = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(vec_col).alias("vec"),
+        F.col("_norm").alias("norm"),
+        lsh_signature_col(F.col(vec_col), planes).alias("sig"),
+    )
+    probes = sigs.select(
+        "doc_id", "vec", "norm",
+        F.explode(
+            F.array(F.col("sig"), *[F.col("sig").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)])
+        ).alias("bucket"),
+    )
+    home = sigs.select(
+        F.col("doc_id").alias("id_b"), F.col("vec").alias("vec_b"),
+        F.col("norm").alias("norm_b"), F.col("sig").alias("bucket"),
+    )
+    cosine = _dot(F.col("vec"), F.col("vec_b")) / (F.col("norm") * F.col("norm_b"))
+    return (
+        probes.join(home, "bucket")
+        .filter(F.col("doc_id") < F.col("id_b"))
+        .select(
+            F.col("doc_id").alias("id_a"), "id_b",
+            F.round(cosine, 6).alias("cosine"),
+        )
+        .distinct()
+        .filter(F.col("cosine") >= threshold)
+    )
