@@ -101,15 +101,23 @@ def minhash_near_duplicates(
 
 def ngram_jaccard_pairs(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    threshold: float = 0.8, length_bucket: int = 64,
+    threshold: float = 0.8,
 ) -> DataFrame:
-    """Exact n-gram Jaccard with length blocking: docs only compare within
-    adjacent length buckets (|len_a − len_b| bounded — a Jaccard ≥ 0.8 pair
-    can't differ in length by >25%, so same-or-neighbor bucket suffices)."""
+    """Exact n-gram Jaccard with **lossless** size blocking: J(A,B) ≥ t
+    implies |A|/|B| ≤ 1/t (min/max ≥ J), so bucketing by
+    floor(log_{1/t}|grams|) guarantees any qualifying pair lands in the same
+    or adjacent bucket — neighbor probing finds every pair, never O(n²)."""
+    import math
+
+    log_base = math.log(1.0 / threshold)
     grams = docs.select(
         F.col(id_col).alias("doc_id"),
         udfs.word_shingles(F.col(text_col)).alias("grams"),
-        (F.length(text_col) / length_bucket).cast("int").alias("bucket"),
+    ).withColumn(
+        "bucket",
+        F.when(F.size("grams") > 0, F.floor(F.log(F.size("grams")) / log_base))
+        .otherwise(F.lit(-1))
+        .cast("int"),
     )
     a = grams.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("grams_a"),
                      F.col("bucket").alias("bucket_a"))

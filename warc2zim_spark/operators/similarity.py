@@ -31,8 +31,16 @@ def _norm(a):
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
 
+def as_double(vec_col) -> "F.Column":
+    """float32 embeddings → double before any arithmetic: both the engine and
+    the DuckDB oracle must accumulate in float64 or 6-decimal rounding flips
+    at the precision boundary."""
+    return F.transform(vec_col, lambda x: x.cast("double"))
+
+
 def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    return df.withColumn("_norm", _norm(F.col(vec_col)))
+    df = df.withColumn("_dvec", as_double(F.col(vec_col)))
+    return df.withColumn("_norm", _norm(F.col("_dvec")))
 
 
 def brute_force_topk(
@@ -46,12 +54,12 @@ def brute_force_topk(
     ``queries`` is expected to be small → broadcast against the corpus."""
     c = with_norm(corpus, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
+        F.col("_dvec").alias("c_vec"),
         F.col("_norm").alias("c_norm"),
     )
     q = with_norm(queries, vec_col).select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
+        F.col("_dvec").alias("q_vec"),
         F.col("_norm").alias("q_norm"),
     )
     cosine = _dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))
@@ -103,15 +111,15 @@ def lsh_topk(
     planes = _hyperplanes(dim, n_planes, seed)
     c = with_norm(corpus, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
+        F.col("_dvec").alias("c_vec"),
         F.col("_norm").alias("c_norm"),
-        lsh_signature_col(F.col(vec_col), planes).alias("bucket"),
+        lsh_signature_col(F.col("_dvec"), planes).alias("bucket"),
     )
     q_base = with_norm(queries, vec_col).select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
+        F.col("_dvec").alias("q_vec"),
         F.col("_norm").alias("q_norm"),
-        lsh_signature_col(F.col(vec_col), planes).alias("sig"),
+        lsh_signature_col(F.col("_dvec"), planes).alias("sig"),
     )
     if multiprobe:
         probes = F.array(
@@ -133,6 +141,30 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def brute_force_near_duplicates(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ t) — the
+    all-pairs baseline (range-join shape; Spark plans it as a broadcast
+    nested-loop only below the broadcast threshold, which is exactly the
+    regime where all-pairs is affordable; above it use
+    ``embedding_near_duplicates``)."""
+    c = with_norm(corpus, vec_col)
+    a = c.select(F.col(id_col).alias("id_a"), F.col("_dvec").alias("vec_a"),
+                 F.col("_norm").alias("norm_a"))
+    b = c.select(F.col(id_col).alias("id_b"), F.col("_dvec").alias("vec_b"),
+                 F.col("_norm").alias("norm_b"))
+    cosine = _dot(F.col("vec_a"), F.col("vec_b")) / (F.col("norm_a") * F.col("norm_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def embedding_near_duplicates(
     corpus: DataFrame,
     threshold: float = 0.98,
@@ -148,9 +180,9 @@ def embedding_near_duplicates(
     planes = _hyperplanes(dim, n_planes, seed)
     sigs = with_norm(corpus, vec_col).select(
         F.col(id_col).alias("doc_id"),
-        F.col(vec_col).alias("vec"),
+        F.col("_dvec").alias("vec"),
         F.col("_norm").alias("norm"),
-        lsh_signature_col(F.col(vec_col), planes).alias("sig"),
+        lsh_signature_col(F.col("_dvec"), planes).alias("sig"),
     )
     probes = sigs.select(
         "doc_id", "vec", "norm",

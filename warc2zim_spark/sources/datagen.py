@@ -222,6 +222,7 @@ def generate_warc_records(pages: pa.Table, seed: int = SEED) -> pa.Table:
             "refers_to_url", "payload", "payload_digest", "http_charset",
             "req_method", "req_mime", "req_body", "req_content_length",
             "zim_path_g", "urlkey_g", "redirect_target_path_g",
+            "refers_to_path_g",
         )
     }
     counter = {"file_seq": 0, "rec_seq": 0, "rid": 0}
@@ -276,6 +277,9 @@ def generate_warc_records(pages: pa.Table, seed: int = SEED) -> pa.Table:
             )
         else:
             cols["redirect_target_path_g"].append(None)
+        cols["refers_to_path_g"].append(
+            canonicalize(refers_to_url) if refers_to_url else None
+        )
 
     # one warcinfo per "file" worth of records, first row
     emit("warcinfo", None, mime="application/warc-fields",
@@ -432,6 +436,7 @@ def generate_warc_records(pages: pa.Table, seed: int = SEED) -> pa.Table:
             "zim_path_g": pa.array(cols["zim_path_g"], pa.string()),
             "urlkey_g": pa.array(cols["urlkey_g"], pa.string()),
             "redirect_target_path_g": pa.array(cols["redirect_target_path_g"], pa.string()),
+            "refers_to_path_g": pa.array(cols["refers_to_path_g"], pa.string()),
         }
     )
 
@@ -567,6 +572,33 @@ def generate_robots(pages_golden: pa.Table, seed: int = SEED) -> pa.Table:
     )
 
 
+def generate_doc_goldens(documents_parquet: str) -> pa.Table:
+    """Kernel-golden columns for the driver ``documents`` table: language-ID,
+    simhash, minhash signature, fingerprint — computed sequentially with the
+    frozen kernels so the distributed UDF path can be oracle-checked (the
+    check is of Spark plumbing + determinism; kernel correctness is pinned by
+    the pure-python unit matrices)."""
+    from warc2zim_spark.kernels.sketches import minhash_signature, simhash64
+    from warc2zim_spark.kernels.textstats import detect_language, rolling_fingerprint
+
+    table = pq.read_table(documents_parquet, columns=["doc_id", "text"])
+    ids = table.column("doc_id").to_pylist()
+    texts = table.column("text").to_pylist()
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "lang_pred": pa.array([detect_language(t) for t in texts], pa.string()),
+            "simhash": pa.array([simhash64(t) for t in texts], pa.int64()),
+            "minhash_sig": pa.array(
+                [minhash_signature(t) for t in texts], pa.list_(pa.int64())
+            ),
+            "fingerprint": pa.array(
+                [rolling_fingerprint(t) for t in texts], pa.list_(pa.int64())
+            ),
+        }
+    )
+
+
 # --------------------------------------------------------------------------
 # materialization
 # --------------------------------------------------------------------------
@@ -590,5 +622,8 @@ def ensure_webdata(sf_name: str, root: str = "/root/repo/webdata") -> Path:
     pq.write_table(generate_encoded_payloads(), out / "encoded_payloads.parquet")
     pq.write_table(generate_seeds(golden), out / "seeds.parquet")
     pq.write_table(generate_robots(golden), out / "robots.parquet")
+    testdata = Path("/root/testdata") / sf_name / "documents.parquet"
+    if testdata.exists():
+        pq.write_table(generate_doc_goldens(str(testdata)), out / "doc_golden.parquet")
     marker.write_text("ok")
     return out
