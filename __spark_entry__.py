@@ -219,6 +219,33 @@ def q_w_status_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_w_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star frontier: 4 BFS waves (robots + politeness + priority +
+    seen-filter), deterministic across parallelism levels; oracle is a
+    sequential pure-python crawler implementing the same spec."""
+    import shutil
+    import tempfile
+
+    from warc2zim_spark.frontier.crawl import run_crawl
+
+    web = _web(sf_dir)
+    seeds = spark.read.parquet(f"{web}/seeds.parquet")
+    robots = spark.read.parquet(f"{web}/robots.parquet")
+    pages = _pages(spark, sf_dir)
+    ckpt = tempfile.mkdtemp(prefix="crawl_ckpt_")
+    try:
+        schedule = run_crawl(
+            spark, seeds, pages, robots, ckpt, max_waves=4,
+            host_budget=8, wave_budget=1000,
+        )
+        # materialize before the checkpoint dir disappears
+        out = schedule.select("wave", "url", "surt_key", "host", "hops", "score").cache()
+        out.count()
+        return out
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def q_w_digest_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star J4 generalization — payload-digest dedup groups."""
     from warc2zim_spark.operators.dedup import digest_duplicates
@@ -429,6 +456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_aliases": q_w_aliases,
         "w_status_gate": q_w_status_gate,
         "w_digest_dups": q_w_digest_dups,
+        "w_frontier": q_w_frontier,
         "d_dedup_exact": q_d_dedup_exact,
         "d_ngram_pairs": q_d_ngram_pairs,
         "d_minhash_pairs": q_d_minhash_pairs,
@@ -561,6 +589,10 @@ def _web_sql(sf: str = "sf0.01") -> dict[str, str]:
           FROM c
         """,
         "w_decode": f"SELECT case_id, expected_text AS decoded FROM {enc}",
+        "w_frontier": (
+            f"SELECT wave, url, surt_key, host, hops, round(score, 9) AS score "
+            f"FROM read_parquet('{WEBROOT}/{sf}/golden_frontier.parquet')"
+        ),
         "w_text_extract": f"SELECT url, text FROM {pages}",
         "w_title_lang": f"SELECT url, title, lang_decl FROM {pg}",
         "w_icons": f"SELECT url, unnest(icons) AS icon_href FROM {pg}",

@@ -57,28 +57,46 @@ def crawl_wave(
     ``seen``: one column ``surt_key``.
     ``pages``: the web-page table (url, html, ...) standing in for fetches.
     """
-    # dedup in-wave candidates: best (hops, score) per surt_key, then anti-join seen
+    # dedup in-wave candidates: best (hops, score) per surt_key, then anti-join
+    # seen. Deterministic everywhere: url = lexicographic min, host derived
+    # from it (never F.first — parallelism must not change the result).
     best = (
         frontier.groupBy("surt_key")
         .agg(
             F.min("hops").alias("hops"),
             F.max("score").alias("score"),
             F.min("url").alias("url"),
-            F.first("host").alias("host"),
         )
+        .withColumn("host", udfs.host_of(F.col("url")))
+        .filter(F.col("host").isNotNull())
     )
     unseen = unseen_exact(best, seen)
     allowed = robots_allowed(unseen, robots)
     polite = politeness_budget(allowed, robots, host_budget=host_budget)
     scheduled = prioritize(polite, wave_budget=wave_budget)
 
-    # "fetch": canonical-key join against the page table; extract links
-    page_keyed = pages.select(
-        udfs.surt_key(F.col("url")).alias("surt_key"),
-        F.col("html"),
-    ).filter(F.col("surt_key").isNotNull())
+    # "fetch": canonical-key join against the page table; extract links.
+    # Several pages can share one canonical key (fuzzy rules, cache busters)
+    # — keep the lexicographically-first url's page so the fetch result is a
+    # pure function of the key (first-wins analogue of A2).
+    from pyspark.sql import Window
+
+    page_w = Window.partitionBy("surt_key").orderBy("page_url")
+    page_keyed = (
+        pages.select(
+            udfs.surt_key(F.col("url")).alias("surt_key"),
+            F.col("url").alias("page_url"),
+            F.col("html"),
+        )
+        .filter(F.col("surt_key").isNotNull())
+        .withColumn("_rn", F.row_number().over(page_w))
+        .filter(F.col("_rn") == 1)
+        .select("surt_key", "html")
+    )
     fetched = scheduled.join(page_keyed, "surt_key", "left")
-    html_str = F.decode(F.col("html"), "utf-8")
+    html_str = udfs.decode_payload(
+        F.col("html"), F.lit(None).cast("string"), F.lit("html")
+    )
     links = (
         fetched.filter(F.col("html").isNotNull())
         .select(

@@ -572,6 +572,145 @@ def generate_robots(pages_golden: pa.Table, seed: int = SEED) -> pa.Table:
     )
 
 
+def sequential_crawl(
+    pages: pa.Table,
+    robots: pa.Table,
+    seeds: pa.Table,
+    max_waves: int = 4,
+    host_budget: int = 8,
+    wave_budget: int = 1000,
+    wave_ms: int = 30_000,
+    score_decay: float = 0.5,
+) -> pa.Table:
+    """Single-threaded oracle for the BFS crawl (frontier/crawl.py spec):
+    per wave — best-(hops,score,min-url) per surt key, unseen filter, robots
+    longest-prefix gate (allow on tie), per-host politeness budget in
+    (hops, -score, surt) order, global priority + wave budget, fetch =
+    first-url page per key, link extraction → next frontier. Independent
+    implementation: dict/loops here vs DataFrame ops in the engine."""
+    from urllib.parse import urljoin
+
+    from warc2zim_spark.kernels.htmlmeta import extract_meta
+    from warc2zim_spark.kernels.surt import canonicalize, url_host
+
+    # page lookup: first (lexicographic url) page per surt key
+    page_links: dict[str, tuple[str, list[str]]] = {}
+    urls = pages.column("url").to_pylist()
+    htmls = pages.column("html").to_pylist()
+    by_key: dict[str, list[tuple[str, bytes]]] = {}
+    for url, html in zip(urls, htmls):
+        key = canonicalize(url)
+        if key is not None:
+            by_key.setdefault(key, []).append((url, html))
+    for key, entries in by_key.items():
+        url, html = min(entries, key=lambda e: e[0])
+        from warc2zim_spark.kernels.decode import to_string_or_none
+
+        html_str = to_string_or_none(html, None) or ""
+        page_links[key] = (url, extract_meta(html_str)["links"])
+
+    rules: dict[str, list[tuple[str, str]]] = {}
+    delays: dict[str, int] = {}
+    for i in range(robots.num_rows):
+        host = robots.column("host")[i].as_py()
+        rules.setdefault(host, []).append(
+            (robots.column("rule_type")[i].as_py(), robots.column("path_prefix")[i].as_py())
+        )
+        delay = robots.column("crawl_delay_ms")[i].as_py()
+        delays[host] = max(delays.get(host, 0), delay or 0)
+
+    def allowed(host: str, surt: str) -> bool:
+        path = surt[len(host):]
+        matching = [
+            (rule_type, prefix)
+            for rule_type, prefix in rules.get(host, [])
+            if path.startswith(prefix)
+        ]
+        if not matching:
+            return True
+        best_len = max(len(p) for _, p in matching)
+        best = [rt for rt, p in matching if len(p) == best_len]
+        return "allow" in best  # allow wins ties
+
+    def budget_of(host: str) -> int:
+        delay = delays.get(host, 0)
+        if delay and delay > 0:
+            return min(host_budget, wave_ms // delay)
+        return host_budget
+
+    def resolve(base: str, href: str):
+        href = href.strip()
+        if href.startswith(("#", "javascript:", "data:", "mailto:")):
+            return None
+        try:
+            return urljoin(base, href)
+        except ValueError:
+            return None
+
+    frontier: list[tuple[str, int, float]] = [
+        (seeds.column("url")[i].as_py(), seeds.column("hops")[i].as_py(),
+         seeds.column("score")[i].as_py())
+        for i in range(seeds.num_rows)
+    ]
+    seen: set[str] = set()
+    out = {k: [] for k in ("wave", "url", "surt_key", "host", "hops", "score")}
+    for wave in range(max_waves):
+        best: dict[str, tuple[int, float, str]] = {}
+        for url, hops, score in frontier:
+            key = canonicalize(url)
+            if key is None:
+                continue
+            if key in best:
+                h, s, u = best[key]
+                best[key] = (min(h, hops), max(s, score), min(u, url))
+            else:
+                best[key] = (hops, score, url)
+        cands = [
+            (key, h, s, u, url_host(u))
+            for key, (h, s, u) in best.items()
+            if key not in seen
+        ]
+        cands = [c for c in cands if c[4] is not None and allowed(c[4], c[0])]
+        # per-host politeness in (hops, -score, surt) order
+        cands.sort(key=lambda c: (c[1], -c[2], c[0]))
+        per_host: dict[str, int] = {}
+        polite = []
+        for key, h, s, u, host in cands:
+            n = per_host.get(host, 0)
+            if n < budget_of(host):
+                per_host[host] = n + 1
+                polite.append((key, h, s, u, host))
+        scheduled = polite[:wave_budget]  # already in global priority order
+        if not scheduled:
+            break
+        next_frontier: list[tuple[str, int, float]] = []
+        for key, h, s, u, host in scheduled:
+            out["wave"].append(wave)
+            out["url"].append(u)
+            out["surt_key"].append(key)
+            out["host"].append(host)
+            out["hops"].append(h)
+            out["score"].append(round(s, 9))
+            seen.add(key)
+            if key in page_links:
+                page_url, links = page_links[key]
+                for href in links:
+                    dst = resolve(u, href)
+                    if dst is not None:
+                        next_frontier.append((dst, h + 1, s * score_decay))
+        frontier = next_frontier
+    return pa.table(
+        {
+            "wave": pa.array(out["wave"], pa.int32()),
+            "url": pa.array(out["url"], pa.string()),
+            "surt_key": pa.array(out["surt_key"], pa.string()),
+            "host": pa.array(out["host"], pa.string()),
+            "hops": pa.array(out["hops"], pa.int32()),
+            "score": pa.array(out["score"], pa.float64()),
+        }
+    )
+
+
 def generate_doc_goldens(documents_parquet: str) -> pa.Table:
     """Kernel-golden columns for the driver ``documents`` table: language-ID,
     simhash, minhash signature, fingerprint — computed sequentially with the
@@ -625,5 +764,9 @@ def ensure_webdata(sf_name: str, root: str = "/root/repo/webdata") -> Path:
     testdata = Path("/root/testdata") / sf_name / "documents.parquet"
     if testdata.exists():
         pq.write_table(generate_doc_goldens(str(testdata)), out / "doc_golden.parquet")
+    pq.write_table(
+        sequential_crawl(pages, generate_robots(golden), generate_seeds(golden)),
+        out / "golden_frontier.parquet",
+    )
     marker.write_text("ok")
     return out
