@@ -1,0 +1,105 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+    python bench.py                  # driver mode: one JSON line
+    python bench.py --scaling       # two-parallelism scaling run (local[8]
+                                     # vs local[32]) → updates BENCH notes
+
+Headline metric (BASELINE.json): frontier URLs scheduled + WARC records
+converted per second. ``value`` is total wall seconds over the headline
+queries (driver contract); ``throughput_rows_per_s`` carries the
+BASELINE-metric view of the same run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# headline queries: the crawl/convert pipeline + the heaviest training ops
+HEADLINE = [
+    "w_items",          # full record pipeline: pairing, urlkey, surt, dedup
+    "w_text_extract",   # decode + byte-identical text extraction (UDF-heavy)
+    "w_frontier",       # 4 BFS waves: robots, politeness, priority, seen
+    "w_rewrite_mode",   # pure-Catalyst classifier over the record stream
+    "d_minhash_pairs",  # minhash-LSH near-dedup with jaccard verify
+    "e_ann_brute",      # exact cosine top-k baseline
+    "t_pricing_summary",  # scan-heavy JVM aggregation
+]
+
+
+def run_bench(cpus: int, sf_dir: str) -> dict:
+    import __spark_entry__ as entry
+    from warc2zim_spark.session import get_spark
+
+    # pre-generate webdata outside the timed region (one-time, disk-cached)
+    entry._web(sf_dir)
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entry.queries()
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    # warm the JVM + python workers once with a cheap query
+    queries["t_pricing_summary"](spark, sf_dir).collect()
+    for name in HEADLINE:
+        t0 = time.time()
+        df = queries[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        rows[name] = n
+    total = round(sum(timings.values()), 3)
+    converted = rows.get("w_items", 0) + rows.get("w_text_extract", 0)
+    scheduled = rows.get("w_frontier", 0)
+    pipeline_secs = timings.get("w_items", 0) + timings.get("w_text_extract", 0) + timings.get("w_frontier", 0)
+    throughput = round((converted + scheduled) / pipeline_secs, 1) if pipeline_secs else 0.0
+    spark.stop()
+    return {
+        "metric": "headline query wall time (frontier+convert+dedup+ann)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")),
+        "cpus": cpus,
+        "rows": rows,
+        "throughput_rows_per_s": throughput,
+    }
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        # subprocess per parallelism level: fresh JVM each, identical input
+        results = {}
+        for cpus in (8, 32):
+            env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, check=True,
+            )
+            results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+        r8, r32 = results[8]["throughput_rows_per_s"], results[32]["throughput_rows_per_s"]
+        efficiency = round((r32 / r8) / 4.0, 3) if r8 else 0.0
+        print(json.dumps({
+            "scaling": {
+                "local8": results[8],
+                "local32": results[32],
+                "R8": r8,
+                "R32": r32,
+                "efficiency": efficiency,
+                "pass": efficiency >= 0.8,
+            }
+        }))
+        return
+    result = run_bench(CPUS, SF_DIR)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

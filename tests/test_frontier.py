@@ -1,0 +1,124 @@
+"""Frontier: determinism vs the sequential oracle, parallelism invariance,
+and checkpoint resume (north_rule requirements)."""
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from warc2zim_spark.frontier.crawl import last_committed_wave, resume_crawl, run_crawl
+
+
+@pytest.fixture(scope="module")
+def web_tables(spark, webdata):
+    seeds = spark.read.parquet(f"{webdata}/seeds.parquet").cache()
+    robots = spark.read.parquet(f"{webdata}/robots.parquet").cache()
+    pages = spark.read.parquet(f"{webdata}/pages.parquet").cache()
+    return seeds, robots, pages
+
+
+def schedule_key(rows):
+    return sorted((r.wave, r.surt_key, r.hops, round(r.score, 9)) for r in rows)
+
+
+class TestDeterminism:
+    def test_matches_sequential_oracle(self, spark, webdata, web_tables, tmp_path):
+        seeds, robots, pages = web_tables
+        got = run_crawl(
+            spark, seeds, pages, robots, str(tmp_path / "ckpt"),
+            max_waves=3, host_budget=4, wave_budget=50,
+        ).collect()
+        from warc2zim_spark.sources.datagen import sequential_crawl
+
+        golden = sequential_crawl(
+            pq.read_table(f"{webdata}/pages.parquet"),
+            pq.read_table(f"{webdata}/robots.parquet"),
+            pq.read_table(f"{webdata}/seeds.parquet"),
+            max_waves=3, host_budget=4, wave_budget=50,
+        )
+        expected = sorted(
+            zip(
+                golden.column("wave").to_pylist(),
+                golden.column("surt_key").to_pylist(),
+                golden.column("hops").to_pylist(),
+                [round(s, 9) for s in golden.column("score").to_pylist()],
+            )
+        )
+        assert schedule_key(got) == expected
+
+    def test_parallelism_invariance(self, spark, web_tables, tmp_path):
+        """Same schedule with 2 vs 8 shuffle partitions (the sandbox proxy for
+        N vs 4N executors at the correctness level)."""
+        seeds, robots, pages = web_tables
+        a = run_crawl(
+            spark, seeds, pages.repartition(2), robots, str(tmp_path / "a"),
+            max_waves=2, host_budget=4, wave_budget=50,
+        ).collect()
+        b = run_crawl(
+            spark, seeds, pages.repartition(8), robots, str(tmp_path / "b"),
+            max_waves=2, host_budget=4, wave_budget=50,
+        ).collect()
+        assert schedule_key(a) == schedule_key(b)
+
+
+class TestResume:
+    def test_resume_completes_identically(self, spark, web_tables, tmp_path):
+        seeds, robots, pages = web_tables
+        full = run_crawl(
+            spark, seeds, pages, robots, str(tmp_path / "full"),
+            max_waves=3, host_budget=4, wave_budget=50,
+        ).collect()
+        # partial run: 2 waves, then resume to 3
+        run_crawl(
+            spark, seeds, pages, robots, str(tmp_path / "partial"),
+            max_waves=2, host_budget=4, wave_budget=50,
+        )
+        assert last_committed_wave(str(tmp_path / "partial")) == 1
+        resumed = resume_crawl(
+            spark, seeds, pages, robots, str(tmp_path / "partial"),
+            max_waves=3, host_budget=4, wave_budget=50,
+        ).collect()
+        assert schedule_key(resumed) == schedule_key(full)
+
+    def test_metrics_written(self, spark, web_tables, tmp_path):
+        import json
+
+        seeds, robots, pages = web_tables
+        run_crawl(
+            spark, seeds, pages, robots, str(tmp_path / "m"),
+            max_waves=2, host_budget=4, wave_budget=50,
+        )
+        metrics = json.loads((tmp_path / "m" / "wave=0._metrics.json").read_text())
+        assert metrics["scheduled"] > 0 and metrics["hosts"] > 0
+
+
+class TestPoliteness:
+    def test_host_budget_enforced(self, spark, web_tables, tmp_path):
+        seeds, robots, pages = web_tables
+        schedule = run_crawl(
+            spark, seeds, pages, robots, str(tmp_path / "pb"),
+            max_waves=3, host_budget=2, wave_budget=1000,
+        )
+        over = (
+            schedule.groupBy("wave", "host")
+            .count()
+            .filter(F.col("count") > 2)
+            .count()
+        )
+        assert over == 0
+
+    def test_denied_host_never_scheduled(self, spark, webdata, web_tables, tmp_path):
+        seeds, robots, pages = web_tables
+        deny_hosts = {
+            r.host
+            for r in robots.filter(
+                (F.col("rule_type") == "disallow") & (F.col("path_prefix") == "/")
+            ).collect()
+        }
+        if not deny_hosts:
+            pytest.skip("no deny-all hosts at this scale")
+        schedule = run_crawl(
+            spark, seeds, pages, robots, str(tmp_path / "deny"),
+            max_waves=3, host_budget=8, wave_budget=1000,
+        )
+        scheduled_hosts = {r.host for r in schedule.select("host").distinct().collect()}
+        assert not (deny_hosts & scheduled_hosts)

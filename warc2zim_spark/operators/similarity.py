@@ -99,27 +99,38 @@ def lsh_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 8,
+    n_planes: int = 5,
+    n_tables: int = 10,
     seed: int = 42,
     multiprobe: bool = True,
 ) -> DataFrame:
-    """ANN top-k: bucket by hyperplane signature, exact re-rank in-bucket.
-    With multiprobe, queries also probe all buckets at hamming distance 1
-    (n_planes extra probes) — recall jumps at the cost of (n_planes+1)×
-    candidate fanout, still linear."""
+    """ANN top-k via **multi-table** hyperplane LSH (the standard
+    Indyk-Motwani construction): L independent tables of k planes each;
+    candidates = union over tables of same-bucket rows (plus hamming-1
+    multiprobe buckets), re-ranked exactly. Recall ≈ 1-(1-p^k)^L per true
+    neighbor; candidate fanout ≈ L·n/2^k rows per query — sublinear whenever
+    2^k ≫ L. Buckets are (table_no, signature) keys, so the candidate join is
+    a plain hash equi-join — the shape that scales to 10^9 vectors."""
     dim = len(corpus.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, n_planes, seed)
-    c = with_norm(corpus, vec_col).select(
+    tables = [
+        _hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
+    ]
+    c_base = with_norm(corpus, vec_col)
+    c = c_base.select(
         F.col(id_col).alias("neighbor_id"),
         F.col("_dvec").alias("c_vec"),
         F.col("_norm").alias("c_norm"),
-        lsh_signature_col(F.col("_dvec"), planes).alias("bucket"),
+        F.posexplode(
+            F.array(*[lsh_signature_col(F.col("_dvec"), planes) for planes in tables])
+        ).alias("table_no", "bucket"),
     )
     q_base = with_norm(queries, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col("_dvec").alias("q_vec"),
         F.col("_norm").alias("q_norm"),
-        lsh_signature_col(F.col("_dvec"), planes).alias("sig"),
+        F.posexplode(
+            F.array(*[lsh_signature_col(F.col("_dvec"), planes) for planes in tables])
+        ).alias("table_no", "sig"),
     )
     if multiprobe:
         probes = F.array(
@@ -128,11 +139,11 @@ def lsh_topk(
     else:
         probes = F.array(F.col("sig"))
     q = q_base.select(
-        "query_id", "q_vec", "q_norm", F.explode(probes).alias("bucket")
+        "query_id", "q_vec", "q_norm", "table_no", F.explode(probes).alias("bucket")
     )
     cosine = _dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))
     scored = (
-        c.join(F.broadcast(q), "bucket")
+        c.join(F.broadcast(q), ["table_no", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", F.round(cosine, 6).alias("cosine"))
         .distinct()
