@@ -52,9 +52,13 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
     for name in HEADLINE:
         t0 = time.time()
         df = queries[name](spark, sf_dir)
+        # cache().count() materializes EVERY column — a bare count() would let
+        # Catalyst prune the UDF outputs and time an empty plan
+        df = df.cache()
         n = df.count()
         timings[name] = round(time.time() - t0, 3)
         rows[name] = n
+        df.unpersist()
     total = round(sum(timings.values()), 3)
     converted = rows.get("w_items", 0) + rows.get("w_text_extract", 0)
     scheduled = rows.get("w_frontier", 0)

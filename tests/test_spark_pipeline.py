@@ -68,7 +68,7 @@ class TestFirstWinsDedup:
         firsts = (
             content.filter(F.col("rec_type") == "response")
             .filter(F.col("status").isin(200, 201, 202, 203))
-            .filter(F.length("payload") > 0)
+            .filter(F.col("payload_len") > 0)
             .groupBy("zim_path")
             .agg(F.min(F.struct("file_seq", "rec_seq")).alias("first"))
             .select("zim_path", F.col("first.file_seq").alias("ffs"), F.col("first.rec_seq").alias("frs"))

@@ -43,6 +43,28 @@ def _normalize(frontier: DataFrame) -> DataFrame:
     )
 
 
+def page_lookup(pages: DataFrame) -> DataFrame:
+    """(surt_key, html) with exactly one page per canonical key — the
+    lexicographically-first url wins (first-wins analogue of A2, needed
+    because fuzzy rules/cache-busters fold several urls onto one key).
+    Compute ONCE per crawl and cache: at sf0.1 this is a 200k-row surt-UDF
+    pass + a window — recomputing it inside every wave dominated the bench."""
+    from pyspark.sql import Window
+
+    page_w = Window.partitionBy("surt_key").orderBy("page_url")
+    return (
+        pages.select(
+            udfs.surt_key(F.col("url")).alias("surt_key"),
+            F.col("url").alias("page_url"),
+            F.col("html"),
+        )
+        .filter(F.col("surt_key").isNotNull())
+        .withColumn("_rn", F.row_number().over(page_w))
+        .filter(F.col("_rn") == 1)
+        .select("surt_key", "html")
+    )
+
+
 def crawl_wave(
     frontier: DataFrame,
     seen: DataFrame,
@@ -50,12 +72,15 @@ def crawl_wave(
     robots: DataFrame,
     host_budget: int = 8,
     wave_budget: int = 1000,
+    pages_keyed: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """One wave → (scheduled, next_frontier_candidates).
 
     ``frontier``: (url, surt_key, host, hops, score) candidates.
     ``seen``: one column ``surt_key``.
     ``pages``: the web-page table (url, html, ...) standing in for fetches.
+    ``pages_keyed``: optional pre-built ``page_lookup(pages)`` (cached by the
+    crawl driver so the 200k-row key pass happens once, not per wave).
     """
     # dedup in-wave candidates: best (hops, score) per surt_key, then anti-join
     # seen. Deterministic everywhere: url = lexicographic min, host derived
@@ -76,23 +101,7 @@ def crawl_wave(
     scheduled = prioritize(polite, wave_budget=wave_budget)
 
     # "fetch": canonical-key join against the page table; extract links.
-    # Several pages can share one canonical key (fuzzy rules, cache busters)
-    # — keep the lexicographically-first url's page so the fetch result is a
-    # pure function of the key (first-wins analogue of A2).
-    from pyspark.sql import Window
-
-    page_w = Window.partitionBy("surt_key").orderBy("page_url")
-    page_keyed = (
-        pages.select(
-            udfs.surt_key(F.col("url")).alias("surt_key"),
-            F.col("url").alias("page_url"),
-            F.col("html"),
-        )
-        .filter(F.col("surt_key").isNotNull())
-        .withColumn("_rn", F.row_number().over(page_w))
-        .filter(F.col("_rn") == 1)
-        .select("surt_key", "html")
-    )
+    page_keyed = pages_keyed if pages_keyed is not None else page_lookup(pages)
     fetched = scheduled.join(page_keyed, "surt_key", "left")
     html_str = udfs.decode_payload(
         F.col("html"), F.lit(None).cast("string"), F.lit("html")
@@ -138,10 +147,12 @@ def run_crawl(
         if initial_seen is not None
         else spark.createDataFrame([], "surt_key string")
     )
+    pages_keyed = page_lookup(pages).cache()
     for wave in range(start_wave, max_waves):
         scheduled, next_frontier = crawl_wave(
             frontier, seen, pages, robots,
             host_budget=host_budget, wave_budget=wave_budget,
+            pages_keyed=pages_keyed,
         )
         out = scheduled.select(
             F.lit(wave).alias("wave"), "url", "surt_key", "host", "hops",
@@ -161,6 +172,7 @@ def run_crawl(
             break
         seen = seen.union(out.select("surt_key")).distinct().localCheckpoint(eager=True)
         frontier = next_frontier.localCheckpoint(eager=True)
+    pages_keyed.unpersist()
     waves = sorted(int(p.name.split("=")[1]) for p in ckpt.glob("wave=*") if p.is_dir())
     return (
         spark.read.parquet(*[str(ckpt / f"wave={w}") for w in waves])

@@ -48,7 +48,7 @@ def main_page_candidate(content: DataFrame) -> DataFrame:
         content.filter(F.col("rec_type") == "response")
         .filter(F.col("status") == 200)
         .filter(F.split(F.coalesce(F.col("mime"), F.lit("")), ";").getItem(0) == "text/html")
-        .filter(F.coalesce(F.length("payload"), F.lit(0)) > 0)
+        .filter(F.col("payload_len") > 0)
         .orderBy("file_seq", "rec_seq")
         .limit(1)
         .select("zim_path", F.col("effective_url").alias("url"), "file_seq", "rec_seq")

@@ -62,7 +62,7 @@ def item_candidates(content: DataFrame, include_domains: list[str] | None = None
         content.filter(F.col("rec_type") == "response")
         .filter(is_processable_status(F.col("status")))
         .filter(~is_redirect_status(F.col("status")))
-        .filter(F.coalesce(F.length(F.col("payload")), F.lit(0)) > 0)
+        .filter(F.col("payload_len") > 0)
         .filter(~F.coalesce(is_self_redirect, F.lit(False)))
     )
     return with_include_domains(df, include_domains)
@@ -71,18 +71,18 @@ def item_candidates(content: DataFrame, include_domains: list[str] | None = None
 def items_table(content: DataFrame, include_domains: list[str] | None = None) -> DataFrame:
     """S5 — the deduplicated item table (zim_path, url, mime, status,
     payload_len, file_seq, rec_seq)."""
-    return (
-        first_wins(item_candidates(content, include_domains))
-        .select(
-            "zim_path",
-            F.col("effective_url").alias("url"),
-            F.col("mime"),
-            F.col("status"),
-            F.length("payload").cast("long").alias("payload_len"),
-            "file_seq",
-            "rec_seq",
-        )
+    narrow = item_candidates(content, include_domains).select(
+        "zim_path",
+        F.col("effective_url").alias("url"),
+        F.col("mime"),
+        F.col("status"),
+        "payload_len",
+        "file_seq",
+        "rec_seq",
     )
+    # project BEFORE the dedup window: the shuffle ships ~150 B/row keys+attrs
+    # instead of full records
+    return first_wins(narrow)
 
 
 def revisit_aliases(content: DataFrame, added_items: DataFrame) -> DataFrame:

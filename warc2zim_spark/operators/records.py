@@ -98,12 +98,23 @@ def with_effective_url(paired: DataFrame) -> DataFrame:
     )
 
 
-def content_records(records: DataFrame) -> DataFrame:
+def content_records(records: DataFrame, *, with_payload: bool = False) -> DataFrame:
     """P5/P6/P12 — the processable record stream: response/revisit rows with a
     non-empty HTTP(S) URL (converter.py:943-956), effective url + canonical
     ``zim_path`` attached. Filters are plain Catalyst predicates that push to
-    the scan; the surt UDF runs after the cheap filters only."""
-    paired = with_effective_url(pair_requests(records))
+    the scan; the surt UDF runs after the cheap filters only.
+
+    ``payload_len`` is computed at the scan and the wide ``payload`` binary
+    column is DROPPED unless a content stage asks for it — the downstream
+    dedup/pairing windows shuffle by key, and shipping payload bytes through
+    those shuffles dominated the sf0.1 bench (and would be ~100 TB of shuffle
+    at production scale). Metadata stages never need the bytes (SURVEY §1.3)."""
+    with_len = records.withColumn(
+        "payload_len", F.coalesce(F.length("payload"), F.lit(0)).cast("long")
+    )
+    if not with_payload:
+        with_len = with_len.drop("payload")
+    paired = with_effective_url(pair_requests(with_len))
     return (
         paired.filter(F.col("rec_type").isin("response", "revisit"))
         .filter(F.col("url").isNotNull() & (F.col("url") != ""))
