@@ -158,13 +158,17 @@ def run_crawl(
             F.lit(wave).alias("wave"), "url", "surt_key", "host", "hops",
             F.round("score", 9).alias("score"),
         ).cache()
-        n_scheduled = out.count()
         # idempotent wave write (overwrite → safe re-run after partial failure)
         out.write.mode("overwrite").parquet(str(ckpt / f"wave={wave}"))
+        # one aggregation job for all wave metrics (not a job per stat)
+        stats = out.agg(
+            F.count("*").alias("n"), F.countDistinct("host").alias("hosts")
+        ).collect()[0]
+        n_scheduled = stats["n"]
         metrics = {
             "wave": wave,
             "scheduled": n_scheduled,
-            "hosts": out.select("host").distinct().count(),
+            "hosts": stats["hosts"],
         }
         (ckpt / f"wave={wave}._metrics.json").write_text(json.dumps(metrics))
         (ckpt / f"wave={wave}._SUCCESS_WAVE").write_text("ok")

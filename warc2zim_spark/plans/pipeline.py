@@ -1,0 +1,94 @@
+"""The two-pass WARC→ZIM pipeline as two Spark jobs + parquet-table sinks.
+
+Reference lifecycle (SURVEY §3.1, converter.py:279-461):
+  pass 1 (gather)  → expected-item set, redirect edges + fixpoint, date
+                     range, main page, warcinfo (converter.py:480-714)
+  plan finalize    → driver-side metadata assembly (small DataFrames)
+  pass 2 (execute) → item/redirect/alias tables (converter.py:942-1033,
+                     439-457)
+
+Sinks are parquet tables in an Iceberg-compatible layout (items, redirects,
+aliases, metadata, metrics); the dataflow barrier between the passes is
+inherent (rewriting depends on global set membership — SURVEY §4.1) and maps
+to two jobs over the same record scan.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from warc2zim_spark.operators.gather import (
+    date_range,
+    expected_items,
+    main_page_candidate,
+    warcinfo_software,
+)
+from warc2zim_spark.operators.items import items_table, revisit_aliases
+from warc2zim_spark.operators.records import content_records, load_records
+from warc2zim_spark.operators.redirects import (
+    expected_with_redirects,
+    kept_redirects,
+    redirect_edges,
+)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    webdata_dir: str,
+    out_dir: str,
+    include_domains: list[str] | None = None,
+) -> dict:
+    """Full pass1 + pass2 → tables under ``out_dir``; returns run metrics."""
+    t0 = time.time()
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    records = load_records(spark, webdata_dir)
+    content = content_records(records).cache()
+
+    # ---- pass 1: gather --------------------------------------------------
+    expected = expected_items(content).cache()
+    edges = redirect_edges(content).cache()
+    redirects = kept_redirects(edges, expected)
+    full_expected = expected_with_redirects(edges, expected)
+    dates = date_range(content)
+    main_page = main_page_candidate(content)
+    software = warcinfo_software(records)
+
+    # ---- pass 2: execute -------------------------------------------------
+    items = items_table(content, include_domains).cache()
+    aliases = revisit_aliases(content, items)
+
+    items.write.mode("overwrite").parquet(str(out / "items"))
+    redirects.write.mode("overwrite").parquet(str(out / "redirects"))
+    aliases.write.mode("overwrite").parquet(str(out / "aliases"))
+    full_expected.write.mode("overwrite").parquet(str(out / "expected"))
+
+    # metadata table (S7): the ~15-entry equivalent, one row per key
+    date_row = dates.collect()[0]
+    main_row = main_page.collect()
+    software_row = software.collect()
+    metadata = [
+        ("X-ContentDate", f"{date_row.warc_start},{date_row.warc_end}"),
+        ("Main-Path", main_row[0].zim_path if main_row else ""),
+        ("Scraper-Source", software_row[0].software if software_row else ""),
+        ("Counter-Items", str(items.count())),
+    ]
+    spark.createDataFrame(metadata, "key string, value string").write.mode(
+        "overwrite"
+    ).parquet(str(out / "metadata"))
+
+    metrics = {
+        "items": items.count(),
+        "redirects": redirects.count(),
+        "aliases": aliases.count(),
+        "expected": full_expected.count(),
+        "wall_s": round(time.time() - t0, 2),
+    }
+    (out / "metrics.json").write_text(json.dumps(metrics))
+    content.unpersist()
+    return metrics

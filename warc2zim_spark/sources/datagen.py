@@ -28,6 +28,16 @@ from urllib.parse import urljoin
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+# Small row groups so Spark can split scans: parquet's minimum split unit is
+# the row group — pyarrow's 1M-row default turns a 200k-row table into ONE
+# task for every scan/UDF stage (this serialized the whole sf0.1 bench to a
+# single core before it hit the first shuffle).
+ROW_GROUP_SIZE = 8192
+
+
+def _write(table: pa.Table, path) -> None:
+    pq.write_table(table, path, row_group_size=ROW_GROUP_SIZE)
+
 from warc2zim_spark.kernels.htmlmeta import extract_meta
 from warc2zim_spark.kernels.posturl import canonical_request_url
 from warc2zim_spark.kernels.surt import canonicalize, url_host
@@ -755,16 +765,16 @@ def ensure_webdata(sf_name: str, root: str = "/root/repo/webdata") -> Path:
     out.mkdir(parents=True, exist_ok=True)
     pages, golden = generate_pages(sf_name)
     records = generate_warc_records(pages)
-    pq.write_table(pages, out / "pages.parquet")
-    pq.write_table(golden, out / "pages_golden.parquet")
-    pq.write_table(records, out / "warc_records.parquet")
-    pq.write_table(generate_encoded_payloads(), out / "encoded_payloads.parquet")
-    pq.write_table(generate_seeds(golden), out / "seeds.parquet")
-    pq.write_table(generate_robots(golden), out / "robots.parquet")
+    _write(pages, out / "pages.parquet")
+    _write(golden, out / "pages_golden.parquet")
+    _write(records, out / "warc_records.parquet")
+    _write(generate_encoded_payloads(), out / "encoded_payloads.parquet")
+    _write(generate_seeds(golden), out / "seeds.parquet")
+    _write(generate_robots(golden), out / "robots.parquet")
     testdata = Path("/root/testdata") / sf_name / "documents.parquet"
     if testdata.exists():
-        pq.write_table(generate_doc_goldens(str(testdata)), out / "doc_golden.parquet")
-    pq.write_table(
+        _write(generate_doc_goldens(str(testdata)), out / "doc_golden.parquet")
+    _write(
         sequential_crawl(pages, generate_robots(golden), generate_seeds(golden)),
         out / "golden_frontier.parquet",
     )
