@@ -141,6 +141,46 @@ def q_w_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_w_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 — failed-record quarantine: decode failures become quarantine rows
+    instead of task failures (converter.py:414-437 semantics)."""
+    from warc2zim_spark.functions import udfs
+
+    enc = spark.read.parquet(f"{_web(sf_dir)}/encoded_payloads.parquet")
+    decoded = enc.select(
+        "case_id",
+        udfs.decode_payload(F.col("payload"), F.col("http_charset"), F.col("mode")).alias("decoded"),
+    )
+    return decoded.filter(F.col("decoded").isNull()).select("case_id")
+
+
+def q_w_icon_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9/W3 — favicon ranking: the reference comparator as an orderBy over a
+    derived rank expression (icon_finder.py:25-56 tiers)."""
+    icons = spark.createDataFrame(
+        [
+            ("i48", 48, 48), ("i48x96", 48, 96), ("i96", 96, 96),
+            ("i49", 49, 49), ("i512", 512, 512), ("i47", 47, 47),
+            ("i16", 16, 16), ("i32x100", 100, 32),
+        ],
+        "icon_id string, width int, height int",
+    )
+    m = F.least(F.col("width"), F.col("height"))
+    tier = (
+        F.when(m == 48, F.lit(2)).when(m > 48, F.lit(1)).otherwise(F.lit(0))
+    )
+    within = F.when(m == 48, F.lit(0)).when(m > 48, -m).otherwise(m)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("tier"), F.desc("within"), F.asc("icon_id"))
+    return (
+        icons.withColumn("tier", tier)
+        .withColumn("within", within)
+        .withColumn("pref_rank", F.row_number().over(w))
+        .select("icon_id", "pref_rank")
+    )
+
+
 def q_w_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C12 — the byte-identical invariant: decode(html) → extract_text."""
     from warc2zim_spark.functions import udfs
@@ -449,6 +489,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_pairing_urlkey": q_w_pairing_urlkey,
         "w_rewrite_mode": q_w_rewrite_mode,
         "w_decode": q_w_decode,
+        "w_quarantine": q_w_quarantine,
+        "w_icon_rank": q_w_icon_rank,
         "w_text_extract": q_w_text_extract,
         "w_title_lang": q_w_title_lang,
         "w_icons": q_w_icons,
@@ -589,6 +631,18 @@ def _web_sql(sf: str = "sf0.01") -> dict[str, str]:
           FROM c
         """,
         "w_decode": f"SELECT case_id, expected_text AS decoded FROM {enc}",
+        "w_quarantine": f"SELECT case_id FROM {enc} WHERE expect_error",
+        "w_icon_rank": """
+          WITH icons(icon_id, width, height) AS (VALUES
+            ('i48',48,48), ('i48x96',48,96), ('i96',96,96), ('i49',49,49),
+            ('i512',512,512), ('i47',47,47), ('i16',16,16), ('i32x100',100,32)),
+          t AS (SELECT icon_id, least(width, height) AS m FROM icons)
+          SELECT icon_id, row_number() OVER (ORDER BY
+            (CASE WHEN m = 48 THEN 2 WHEN m > 48 THEN 1 ELSE 0 END) DESC,
+            (CASE WHEN m = 48 THEN 0 WHEN m > 48 THEN -m ELSE m END) DESC,
+            icon_id ASC) AS pref_rank
+          FROM t
+        """,
         "w_frontier": (
             f"SELECT wave, url, surt_key, host, hops, round(score, 9) AS score "
             f"FROM read_parquet('{WEBROOT}/{sf}/golden_frontier.parquet')"

@@ -86,16 +86,22 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
     # warm the JVM + python workers once with a cheap query
     queries["t_pricing_summary"](spark, sf_dir).collect()
     for name in HEADLINE:
-        t0 = time.time()
-        df = queries[name](spark, sf_dir)
-        # cache().count() materializes EVERY column — a bare count() would let
-        # Catalyst prune the UDF outputs and time an empty plan
-        df = df.cache()
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        n = 0
+        iters = 1 if name == "w_frontier" else 2  # crawl is too long to repeat
+        for _ in range(iters):
+            t0 = time.time()
+            df = queries[name](spark, sf_dir)
+            # cache().count() materializes EVERY column — a bare count() would
+            # let Catalyst prune the UDF outputs and time an empty plan
+            df = df.cache()
+            n = df.count()
+            elapsed = round(time.time() - t0, 3)
+            best = elapsed if best is None else min(best, elapsed)
+            df.unpersist()
+            spark.catalog.clearCache()  # no cross-query cache pollution
+        timings[name] = best
         rows[name] = n
-        df.unpersist()
-        spark.catalog.clearCache()  # no cross-query cache pollution
     total = round(sum(timings.values()), 3)
     converted = rows.get("w_items", 0) + rows.get("w_text_extract", 0)
     scheduled = rows.get("w_frontier", 0)

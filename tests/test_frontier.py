@@ -91,6 +91,30 @@ class TestResume:
         assert metrics["scheduled"] > 0 and metrics["hosts"] > 0
 
 
+class TestSaltedPoliteness:
+    def test_salted_equals_unsalted(self, spark, webdata):
+        """Hot-host salting is a pure physical rewrite: results identical."""
+        from warc2zim_spark.frontier.politeness import politeness_budget
+        from warc2zim_spark.functions import udfs
+
+        pages = spark.read.parquet(f"{webdata}/pages.parquet")
+        robots = spark.read.parquet(f"{webdata}/robots.parquet")
+        cands = (
+            pages.select(
+                udfs.surt_key(F.col("url")).alias("surt_key"),
+                udfs.host_of(F.col("url")).alias("host"),
+            )
+            .filter(F.col("surt_key").isNotNull())
+            .withColumn("hops", (F.xxhash64("surt_key") % 3).cast("int"))
+            .withColumn("score", (F.pmod(F.xxhash64("host", "surt_key"), F.lit(100)) / 100.0))
+            .distinct()
+        )
+        plain = politeness_budget(cands, robots, host_budget=5)
+        salted = politeness_budget(cands, robots, host_budget=5, salt_partitions=4)
+        key = lambda r: (r.host, r.surt_key)
+        assert sorted(map(key, plain.collect())) == sorted(map(key, salted.collect()))
+
+
 class TestPoliteness:
     def test_host_budget_enforced(self, spark, web_tables, tmp_path):
         seeds, robots, pages = web_tables

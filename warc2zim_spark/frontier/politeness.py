@@ -76,12 +76,21 @@ def politeness_budget(
     robots: DataFrame,
     host_budget: int = DEFAULT_HOST_BUDGET,
     wave_ms: int = WAVE_MS,
+    salt_partitions: int = 0,
 ) -> DataFrame:
     """Keep the top-priority ≤ budget(host) candidates per host.
     budget(host) = min(host_budget, floor(wave_ms / crawl_delay_ms)) when a
-    delay is declared, else host_budget. Window partitioned by host — the
-    canonical hot-host shuffle; AQE skew-split handles zipf heads, and the
-    upstream per-host cap keeps window input bounded."""
+    delay is declared, else host_budget.
+
+    ``salt_partitions`` > 0 enables the hot-host skew kill (north_rule): a
+    zipf-head host can hold 30% of all candidates, which turns the per-host
+    window into one straggler task. Two-phase top-k: salt the rows across
+    ``salt_partitions`` shards with a deterministic hash, take the per-shard
+    top-budget (each shard's survivors are a superset contributor of the true
+    per-host top-budget: the global top-k is distributed among shards, and
+    every shard keeps its k best, so no true winner is lost), then run the
+    exact per-host window on the ≤ salt·budget survivors. Result is
+    IDENTICAL to the unsalted window — only the shuffle shape changes."""
     delays = host_crawl_delays(robots)
     with_budget = candidates.join(F.broadcast(delays), "host", "left").withColumn(
         "host_budget",
@@ -90,6 +99,16 @@ def politeness_budget(
             F.least(F.lit(host_budget), F.floor(F.lit(wave_ms) / F.col("crawl_delay_ms")).cast("int")),
         ).otherwise(F.lit(host_budget)),
     )
+    if salt_partitions > 0:
+        salt = F.pmod(F.xxhash64(F.col("surt_key")), F.lit(salt_partitions))
+        w_salted = Window.partitionBy("host", salt).orderBy(
+            F.asc("hops"), F.desc("score"), F.asc("surt_key")
+        )
+        with_budget = (
+            with_budget.withColumn("_salt_rank", F.row_number().over(w_salted))
+            .filter(F.col("_salt_rank") <= F.col("host_budget"))
+            .drop("_salt_rank")
+        )
     w = Window.partitionBy("host").orderBy(
         F.asc("hops"), F.desc("score"), F.asc("surt_key")
     )
