@@ -137,7 +137,9 @@ def q_w_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = spark.read.parquet(f"{_web(sf_dir)}/encoded_payloads.parquet")
     return enc.select(
         "case_id",
-        udfs.decode_payload(F.col("payload"), F.col("http_charset"), F.col("mode")).alias("decoded"),
+        udfs.decode_payload_with_charsets(
+            F.col("payload"), F.col("http_charset"), F.col("mode"), F.col("charsets_csv")
+        ).alias("decoded"),
     )
 
 
@@ -149,7 +151,9 @@ def q_w_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = spark.read.parquet(f"{_web(sf_dir)}/encoded_payloads.parquet")
     decoded = enc.select(
         "case_id",
-        udfs.decode_payload(F.col("payload"), F.col("http_charset"), F.col("mode")).alias("decoded"),
+        udfs.decode_payload_with_charsets(
+            F.col("payload"), F.col("http_charset"), F.col("mode"), F.col("charsets_csv")
+        ).alias("decoded"),
     )
     return decoded.filter(F.col("decoded").isNull()).select("case_id")
 

@@ -52,17 +52,18 @@ def _heavy_frontier(spark, sf_dir: str):
     web = entry._web(sf_dir)
     robots = spark.read.parquet(f"{web}/robots.parquet")
     pages = spark.read.parquet(f"{web}/pages.parquet")
-    # bench seeds: a wide slice of the page table so the frontier fans out to
-    # tens of thousands of candidates by wave 2 (5 organic seeds only reach
-    # ~10^2 URLs — all overhead, no signal)
-    seeds = pages.limit(5000).select(
+    # bench seeds: a wide slice of the page table so per-wave scheduling and
+    # link-extraction work dominates fixed per-wave job overhead (5 organic
+    # seeds only reach ~10^2 URLs — all overhead, no signal). Two heavy waves
+    # beat four light ones for the same reason.
+    seeds = pages.limit(20_000).select(
         "url", F.lit(1.0).alias("score"), F.lit(0).alias("hops")
     )
     ckpt = tempfile.mkdtemp(prefix="bench_crawl_")
     try:
         schedule = run_crawl(
-            spark, seeds, pages, robots, ckpt, max_waves=3,
-            host_budget=200, wave_budget=50_000,
+            spark, seeds, pages, robots, ckpt, max_waves=2,
+            host_budget=500, wave_budget=100_000,
         )
         out = schedule.cache()
         out.count()

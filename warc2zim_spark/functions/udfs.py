@@ -120,6 +120,30 @@ def decode_payload(payloads: pd.Series, http_charsets: pd.Series, modes: pd.Seri
 
 
 @pandas_udf(StringType())
+def decode_payload_with_charsets(
+    payloads: pd.Series, http_charsets: pd.Series, modes: pd.Series,
+    charsets_csv: pd.Series,
+) -> pd.Series:
+    """decode_payload with a per-row tier-(c) try-list (csv string) — the
+    ``--charsets-to-try`` CLI surface (main.py:113-119)."""
+    out = []
+    for payload, charset, mode, csv in zip(payloads, http_charsets, modes, charsets_csv):
+        if payload is None:
+            out.append(None)
+            continue
+        try_list = [c for c in (csv or "").split(",") if c] or None
+        out.append(
+            _decode.to_string_or_none(
+                bytes(payload),
+                charset if charset is not None else None,
+                try_list,
+                ignore_content_header_charsets=(mode != "html"),
+            )
+        )
+    return pd.Series(out)
+
+
+@pandas_udf(StringType())
 def extract_text(htmls: pd.Series) -> pd.Series:
     """Frozen HTML→text — C12, the byte-identical invariant."""
     return htmls.map(_textextract.extract_text, na_action="ignore")

@@ -493,7 +493,7 @@ def generate_encoded_payloads() -> pa.Table:
     """Charset decode matrix (FIXTURES §3, mirrors tests/test_utils.py)."""
     from warc2zim_spark.kernels.decode import to_string_or_none
 
-    cases = []  # (case_id, payload, http_charset, mode)
+    cases = []  # (case_id, payload, http_charset, mode[, charsets_csv])
     contents = {"ascii": "abc", "latin1": "café", "latin2": "Bűvös", "chinese": "你好"}
     encodings = ["ascii", "utf-8", "utf-16", "utf-32", "latin1", "iso8859_2", "gb2312", "gbk"]
     for cname, content in contents.items():
@@ -515,17 +515,26 @@ def generate_encoded_payloads() -> pa.Table:
     cases.append(("beyond-window", b" " * 2000 + b'<meta charset="utf-8">caf\xc3\xa9', None, "html"))
     cases.append(("empty", b"", None, "html"))
     cases.append(("non-html-ignores-decl", '<meta charset="latin1">café'.encode("utf-8"), None, "css"))
+    # restricted try-lists: tier (c) can actually fail (quarantine rows) —
+    # the engine-default list ends in latin1 which decodes anything
+    cases.append(("strict-fail", b"\xff\xfe junk \xff", None, "css", "ascii,utf-8"))
+    cases.append(("strict-ok", "héllo".encode("utf-8"), None, "css", "ascii,utf-8"))
+    cases.append(("strict-fail-2", "你好".encode("gbk"), None, "css", "ascii,utf-8"))
 
-    ids, payloads, charsets, modes, expected, expect_error = [], [], [], [], [], []
-    for case_id, payload, http_charset, mode in cases:
+    ids, payloads, charsets, modes, csvs, expected, expect_error = [], [], [], [], [], [], []
+    for case in cases:
+        case_id, payload, http_charset, mode = case[:4]
+        charsets_csv = case[4] if len(case) > 4 else None
+        try_list = charsets_csv.split(",") if charsets_csv else None
         out = to_string_or_none(
-            payload, http_charset,
+            payload, http_charset, try_list,
             ignore_content_header_charsets=(mode != "html"),
         )
         ids.append(case_id)
         payloads.append(payload)
         charsets.append(http_charset)
         modes.append(mode)
+        csvs.append(charsets_csv)
         expected.append(out)
         expect_error.append(out is None)
     return pa.table(
@@ -534,6 +543,7 @@ def generate_encoded_payloads() -> pa.Table:
             "payload": pa.array(payloads, pa.binary()),
             "http_charset": pa.array(charsets, pa.string()),
             "mode": pa.array(modes, pa.string()),
+            "charsets_csv": pa.array(csvs, pa.string()),
             "expected_text": pa.array(expected, pa.string()),
             "expect_error": pa.array(expect_error, pa.bool_()),
         }
