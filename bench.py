@@ -89,7 +89,8 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
     for name in HEADLINE:
         best = None
         n = 0
-        iters = 1 if name == "w_frontier" else 2  # crawl is too long to repeat
+        iters = 2 if name == "w_frontier" else 3  # min-of-N: python-worker
+        # fork storms and JIT warmup make single-shot timings noisy on this VM
         for _ in range(iters):
             t0 = time.time()
             df = queries[name](spark, sf_dir)
