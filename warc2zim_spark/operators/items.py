@@ -48,22 +48,23 @@ def with_include_domains(df: DataFrame, include_domains: list[str] | None) -> Da
 
 def item_candidates(content: DataFrame, include_domains: list[str] | None = None) -> DataFrame:
     """Response rows that may become items: processable, non-redirect,
-    non-self-redirect, non-empty payload."""
-    is_self_redirect = (
-        F.col("status").cast("string").startswith("3")
-        & (F.col("status") != 300)
-        & F.col("http_location").isNotNull()
-        & (
-            udfs.resolve_redirect_key(F.col("effective_url"), F.col("http_location"))
-            == F.col("zim_path")
-        )
-    )
+    non-empty payload.
+
+    Note on P10 (self-redirect drop, converter.py:926-940): in the reference,
+    ``is_self_redirect`` executes AFTER the redirect statuses already
+    returned early (converter.py:984-995), so by then status ∈ {200,201,202,
+    203} and the check can never fire — it is unreachable, and we reproduce
+    that by construction here (self-redirects are dropped at edge creation
+    instead, redirects.py ``tgt_path != zim_path``, matching
+    converter.py:527-530, the check that actually does the work). An earlier
+    version evaluated the resolve-UDF per candidate row to mimic the dead
+    check — pure Arrow overhead on 100% of items for a predicate that is
+    identically false."""
     df = (
         content.filter(F.col("rec_type") == "response")
         .filter(is_processable_status(F.col("status")))
         .filter(~is_redirect_status(F.col("status")))
         .filter(F.col("payload_len") > 0)
-        .filter(~F.coalesce(is_self_redirect, F.lit(False)))
     )
     return with_include_domains(df, include_domains)
 

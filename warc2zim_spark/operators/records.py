@@ -30,27 +30,51 @@ def load_records(spark: SparkSession, webdata_dir: str) -> DataFrame:
 
 
 def pair_requests(records: DataFrame) -> DataFrame:
-    """J1/W2 — attach the adjacent request's (method, mime, body, length) to
-    each response row, reproducing bufferiter.py:62-87 exactly:
+    """J1/W2 + J2 — request/response pairing with urlkey propagation,
+    reproducing bufferiter.py:62-87 + 99-114:
 
     pairable ⇔ same WARC-Target-URI ∧ (either order):
       prev=request  ∧ this=response ∧ this.Concurrent-To == prev.Record-ID, or
       prev=response ∧ this=request  ∧ this.Concurrent-To == prev.Record-ID
     Only *adjacent* rows pair (single-record lookahead state machine).
 
-    Returns the input plus ``p_method/p_mime/p_body/p_length`` on response
-    rows (null when unpaired). Non-response rows pass through unchanged.
+    Order of operations matters for scale: the POST/PUT urlkey is synthesized
+    ON THE REQUEST ROW first (one Arrow UDF pass over the raw scan — request
+    body columns are null for >90% of rows, so the Arrow transfer is cheap
+    and the kernel short-circuits), and only the resulting *string* plus the
+    pairing keys go through the adjacency window. Earlier variants either
+    evaluated the UDF over the window's picked body columns (full-corpus
+    Arrow round-trip) or joined a broadcast subquery back (recomputed the
+    window twice); both were the pipeline's hottest stage.
+
+    Returns the input plus ``p_method`` / ``p_urlkey`` on response rows
+    (null when unpaired). Non-response rows pass through unchanged.
     """
+    synth = (
+        (F.col("rec_type") == "request")
+        & F.col("req_method").isin("POST", "PUT")
+        & F.col("url").isNotNull()
+    )
+    records = records.withColumn(
+        "req_urlkey",
+        F.when(
+            synth,
+            udfs.canonical_post_url(
+                F.col("url"), F.col("req_method"), F.col("req_mime"),
+                F.col("req_body"), F.col("req_content_length"),
+            ),
+        ),
+    )
     w = Window.partitionBy("file_seq").orderBy("rec_seq")
     prev = {
         c: F.lag(c).over(w)
         for c in ("rec_type", "url", "record_id", "concurrent_to",
-                  "req_method", "req_mime", "req_body", "req_content_length")
+                  "req_method", "req_urlkey")
     }
     nxt = {
         c: F.lead(c).over(w)
         for c in ("rec_type", "url", "record_id", "concurrent_to",
-                  "req_method", "req_mime", "req_body", "req_content_length")
+                  "req_method", "req_urlkey")
     }
     prev_is_req = (
         (prev["rec_type"] == "request")
@@ -64,37 +88,21 @@ def pair_requests(records: DataFrame) -> DataFrame:
     )
     def pick(col: str):
         return (
-            F.when(F.col("rec_type") != "response", F.col(col))
+            F.when(F.col("rec_type") != "response", F.lit(None))
             .when(prev_is_req, prev[col])
             .when(next_is_req, nxt[col])
         )
     return (
         records.withColumn("p_method", pick("req_method"))
-        .withColumn("p_mime", pick("req_mime"))
-        .withColumn("p_body", pick("req_body"))
-        .withColumn("p_length", pick("req_content_length"))
+        .withColumn("p_urlkey", pick("req_urlkey"))
     )
 
 
 def with_effective_url(paired: DataFrame) -> DataFrame:
-    """P1 + J2 — effective_url = synthesized POST/PUT urlkey (pandas UDF over
-    the paired request fields) else WARC-Target-URI (utils.py:52-57). The UDF
-    only runs on the small POST/PUT slice (when-guard keeps the rest
-    JVM-side)."""
-    needs_urlkey = (
-        (F.col("rec_type") == "response")
-        & F.col("p_method").isin("POST", "PUT")
-        & F.col("url").isNotNull()
-    )
+    """P1 — effective_url = paired urlkey if synthesized else
+    WARC-Target-URI (utils.py:52-57)."""
     return paired.withColumn(
-        "effective_url",
-        F.when(
-            needs_urlkey,
-            udfs.canonical_post_url(
-                F.col("url"), F.col("p_method"), F.col("p_mime"),
-                F.col("p_body"), F.col("p_length"),
-            ),
-        ).otherwise(F.col("url")),
+        "effective_url", F.coalesce(F.col("p_urlkey"), F.col("url"))
     )
 
 
@@ -104,14 +112,18 @@ def content_records(records: DataFrame, *, with_payload: bool = False) -> DataFr
     ``zim_path`` attached. Filters are plain Catalyst predicates that push to
     the scan; the surt UDF runs after the cheap filters only.
 
-    ``payload_len`` is computed at the scan and the wide ``payload`` binary
-    column is DROPPED unless a content stage asks for it — the downstream
-    dedup/pairing windows shuffle by key, and shipping payload bytes through
-    those shuffles dominated the sf0.1 bench (and would be ~100 TB of shuffle
-    at production scale). Metadata stages never need the bytes (SURVEY §1.3)."""
-    with_len = records.withColumn(
-        "payload_len", F.coalesce(F.length("payload"), F.lit(0)).cast("long")
-    )
+    ``payload_len`` is an ingest-time column (datagen writes it, like a real
+    CDX index would) and the wide ``payload`` binary column is DROPPED unless
+    a content stage asks for it — metadata stages must not even SCAN the
+    bytes: reading 1.2M blobs just to measure their length was ~200 s of JVM
+    GC per pass at bench scale, and ~100 TB of scan at production scale
+    (SURVEY §1.3: column pruning keeps payload out of non-content stages)."""
+    if "payload_len" in records.columns:
+        with_len = records
+    else:
+        with_len = records.withColumn(
+            "payload_len", F.coalesce(F.length("payload"), F.lit(0)).cast("long")
+        )
     if not with_payload:
         with_len = with_len.drop("payload")
     paired = with_effective_url(pair_requests(with_len))

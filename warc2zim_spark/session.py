@@ -34,6 +34,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # local bench tier: tables are a few hundred MB in single files, so
+        # the 128m default gives 1-2 scan partitions and serializes every
+        # pre-shuffle UDF stage; 16m ≈ cores×(file/16m) tasks. At cluster
+        # scale with thousands of files, set this back via spark-submit conf.
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")

@@ -229,7 +229,7 @@ def generate_warc_records(pages: pa.Table, seed: int = SEED) -> pa.Table:
         for k in (
             "file_seq", "rec_seq", "rec_type", "url", "warc_date", "record_id",
             "concurrent_to", "status", "mime", "resourcetype", "http_location",
-            "refers_to_url", "payload", "payload_digest", "http_charset",
+            "refers_to_url", "payload", "payload_len", "payload_digest", "http_charset",
             "req_method", "req_mime", "req_body", "req_content_length",
             "zim_path_g", "urlkey_g", "redirect_target_path_g",
             "refers_to_path_g",
@@ -271,6 +271,7 @@ def generate_warc_records(pages: pa.Table, seed: int = SEED) -> pa.Table:
         cols["http_location"].append(http_location)
         cols["refers_to_url"].append(refers_to_url)
         cols["payload"].append(payload)
+        cols["payload_len"].append(len(payload or b""))
         cols["payload_digest"].append(
             "sha256:" + hashlib.sha256(payload or b"").hexdigest()
         )
@@ -437,6 +438,7 @@ def generate_warc_records(pages: pa.Table, seed: int = SEED) -> pa.Table:
             "http_location": pa.array(cols["http_location"], pa.string()),
             "refers_to_url": pa.array(cols["refers_to_url"], pa.string()),
             "payload": pa.array(cols["payload"], pa.binary()),
+            "payload_len": pa.array(cols["payload_len"], pa.int64()),
             "payload_digest": pa.array(cols["payload_digest"], pa.string()),
             "http_charset": pa.array(cols["http_charset"], pa.string()),
             "req_method": pa.array(cols["req_method"], pa.string()),
