@@ -237,6 +237,25 @@ def q_w_links_out(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_w_rewrite_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3/C4 — href/src/srcset/css-url rewriting against the seen-set;
+    compared as sha256 of the rewritten document (sequential golden)."""
+    from warc2zim_spark.operators.rewrite import rewritten_pages
+
+    pages = _pages(spark, sf_dir)
+    seen = spark.read.parquet(f"{_web(sf_dir)}/pages_golden.parquet").select("zim_path")
+    return rewritten_pages(spark, pages, seen).select(
+        "url", F.sha2(F.col("html_rw"), 256).alias("html_rw_sha")
+    )
+
+
+def q_w_js_modules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 round-1 — ES-module discovery feeding the isModule flag."""
+    from warc2zim_spark.operators.rewrite import js_module_paths
+
+    return js_module_paths(_pages(spark, sf_dir)).select("url", "module_src")
+
+
 def q_w_aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4/S6 — revisit → alias table."""
     from warc2zim_spark.operators.items import items_table, revisit_aliases
@@ -499,6 +518,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_title_lang": q_w_title_lang,
         "w_icons": q_w_icons,
         "w_links_out": q_w_links_out,
+        "w_rewrite_html": q_w_rewrite_html,
+        "w_js_modules": q_w_js_modules,
         "w_aliases": q_w_aliases,
         "w_status_gate": q_w_status_gate,
         "w_digest_dups": q_w_digest_dups,
@@ -655,6 +676,13 @@ def _web_sql(sf: str = "sf0.01") -> dict[str, str]:
         "w_title_lang": f"SELECT url, title, lang_decl FROM {pg}",
         "w_icons": f"SELECT url, unnest(icons) AS icon_href FROM {pg}",
         "w_links_out": f"SELECT url, n_links FROM {pg}",
+        "w_rewrite_html": (
+            f"SELECT url, html_rw_sha FROM "
+            f"read_parquet('{WEBROOT}/{sf}/rewrite_golden.parquet')"
+        ),
+        "w_js_modules": (
+            f"SELECT DISTINCT url, unnest(js_modules) AS module_src FROM {pg}"
+        ),
         "w_aliases": f"""
           WITH content AS ({content}),
           revisits AS (

@@ -122,7 +122,7 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
     }
 
 
-def run_scaling_workload(cpus: int, sf_dir: str, k: int = 5) -> dict:
+def run_scaling_workload(cpus: int, sf_dir: str, k: int | None = None) -> dict:
     """The BASELINE-metric workload at bench scale: frontier URLs scheduled +
     records converted per second. Inputs are exploded ×k inside Spark and
     MATERIALIZED before the timed region (BASELINE.md: the page table is
@@ -133,6 +133,10 @@ def run_scaling_workload(cpus: int, sf_dir: str, k: int = 5) -> dict:
     from pyspark.sql import functions as F
     from warc2zim_spark.session import get_spark
 
+    if k is None:
+        # sized so parallel work ≥ ~11x the fixed per-level latency (the 0.8
+        # efficiency bound with T(n) = F + W/n); see BENCH/BASELINE.md
+        k = int(os.environ.get("SPARK_GRAFT_SCALE_K", "20"))
     web = entry._web(sf_dir)
     spark = get_spark("bench-scaling", master=f"local[{cpus}]", shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -182,21 +186,27 @@ def run_scaling_workload(cpus: int, sf_dir: str, k: int = 5) -> dict:
     from warc2zim_spark.operators.records import content_records
     from warc2zim_spark.frontier.crawl import run_crawl
 
+    def force(df):
+        """Evaluate every column JVM-side (hash-sum over the full row) —
+        cache().count() materializes into the memory store, which is its own
+        GC-bound serialization job and destroys the scaling signal."""
+        row = df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.pmod(F.xxhash64(F.struct(*df.columns)), F.lit(1_000_000_007))).alias("h"),
+        ).collect()[0]
+        return row["n"]
+
     t0 = time.time()
-    items = items_table(content_records(records_big)).cache()
-    n_items = items.count()
-    items.unpersist()
+    n_items = force(items_table(content_records(records_big)))
     t_items = time.time() - t0
 
     t0 = time.time()
-    text = pages_big.select(
+    n_text = force(pages_big.select(
         "url",
         udfs.extract_text(
             udfs.decode_payload(F.col("html"), F.lit(None).cast("string"), F.lit("html"))
         ).alias("text"),
-    ).cache()
-    n_text = text.count()
-    text.unpersist()
+    ))
     t_text = time.time() - t0
 
     # frontier scheduling mega-wave: seen-filter → robots → salted politeness
@@ -226,9 +236,7 @@ def run_scaling_workload(cpus: int, sf_dir: str, k: int = 5) -> dict:
     unseen = unseen_exact(candidates, seen)
     allowed = robots_allowed(unseen, robots)
     polite = politeness_budget(allowed, robots, host_budget=100, salt_partitions=8)
-    schedule = prioritize(polite, wave_budget=500_000).cache()
-    n_sched = schedule.count()
-    schedule.unpersist()
+    n_sched = force(prioritize(polite, wave_budget=500_000))
     t_crawl = time.time() - t0
 
     total_t = t_items + t_text + t_crawl

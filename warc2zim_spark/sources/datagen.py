@@ -594,6 +594,33 @@ def generate_robots(pages_golden: pa.Table, seed: int = SEED) -> pa.Table:
     )
 
 
+def generate_rewrite_goldens(pages: pa.Table, golden: pa.Table) -> pa.Table:
+    """Sequential rewrite goldens: for each page, the sha256 of its HTML with
+    internal links re-pointed against the full page-key set (the C3/C4
+    invariant table). Kept to small scales — the bench tier exercises the
+    operator without a golden."""
+    import hashlib as _hashlib
+
+    from warc2zim_spark.kernels.decode import to_string_or_none
+    from warc2zim_spark.kernels.urlrewrite import rewrite_html_links
+
+    urls = pages.column("url").to_pylist()
+    htmls = pages.column("html").to_pylist()
+    seen = frozenset(p for p in golden.column("zim_path").to_pylist() if p)
+    out_urls, shas = [], []
+    for url, html in zip(urls, htmls):
+        html_str = to_string_or_none(html, None) or ""
+        rewritten = rewrite_html_links(html_str, url, seen)
+        out_urls.append(url)
+        shas.append(_hashlib.sha256(rewritten.encode("utf-8")).hexdigest())
+    return pa.table(
+        {
+            "url": pa.array(out_urls, pa.string()),
+            "html_rw_sha": pa.array(shas, pa.string()),
+        }
+    )
+
+
 def sequential_crawl(
     pages: pa.Table,
     robots: pa.Table,
@@ -790,5 +817,7 @@ def ensure_webdata(sf_name: str, root: str = "/root/repo/webdata") -> Path:
         sequential_crawl(pages, generate_robots(golden), generate_seeds(golden)),
         out / "golden_frontier.parquet",
     )
+    if SCALE_PAGES.get(sf_name, 0) <= 2000:  # correctness tiers only
+        _write(generate_rewrite_goldens(pages, golden), out / "rewrite_golden.parquet")
     marker.write_text("ok")
     return out
