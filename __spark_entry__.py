@@ -173,7 +173,7 @@ def q_w_icon_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier = (
         F.when(m == 48, F.lit(2)).when(m > 48, F.lit(1)).otherwise(F.lit(0))
     )
-    within = F.when(m == 48, F.lit(0)).when(m > 48, -m).otherwise(m)
+    within = F.when(m == 48, F.lit(0)).otherwise(m)
     from pyspark.sql import Window
 
     w = Window.orderBy(F.desc("tier"), F.desc("within"), F.asc("icon_id"))
@@ -664,7 +664,7 @@ def _web_sql(sf: str = "sf0.01") -> dict[str, str]:
           t AS (SELECT icon_id, least(width, height) AS m FROM icons)
           SELECT icon_id, row_number() OVER (ORDER BY
             (CASE WHEN m = 48 THEN 2 WHEN m > 48 THEN 1 ELSE 0 END) DESC,
-            (CASE WHEN m = 48 THEN 0 WHEN m > 48 THEN -m ELSE m END) DESC,
+            (CASE WHEN m = 48 THEN 0 ELSE m END) DESC,
             icon_id ASC) AS pref_rank
           FROM t
         """,

@@ -160,22 +160,43 @@ class TestLanguage:
 
 
 class TestIconRank:
-    """Comparator cases from reference tests/test_icon_finder.py:75-161."""
+    """All two-item comparator cases from reference tests/test_icon_finder.py
+    ``test_get_sorted_icons`` (two_items_with_size1..14), ported verbatim:
+    (a_dims, b_dims, winner) where winner is 'a', 'b', or 'tie' in the
+    reference's *sorted-descending* output. A win means a higher icon_rank."""
 
-    def test_exact_48_beats_all(self):
-        assert icon_rank(48, 48) > icon_rank(96, 96)
-        assert icon_rank(48, 48) > icon_rank(32, 32)
-        assert icon_rank(48, 48) > icon_rank(49, 49)
+    CASES = [
+        # id, a=(w,h), b=(w,h), winner
+        ("size1", (12, 12), (96, 96), "b"),
+        ("size2", (128, 128), (96, 96), "a"),
+        ("size3", (96, 96), (128, 128), "b"),
+        ("size4", (12, 12), (26, 26), "b"),
+        ("size5", (26, 26), (12, 12), "a"),
+        ("size6", (48, 48), (12, 12), "a"),
+        ("size7", (48, 48), (96, 96), "a"),
+        ("size8", (12, 12), (48, 48), "b"),
+        ("size9", (96, 96), (48, 48), "b"),
+        ("size10", (48, 48), (48, 48), "tie"),
+        ("size11", (96, 96), (96, 96), "tie"),
+        ("size12", (32, 32), (96, 96), "b"),
+        ("size13", (96, 96), (32, 32), "a"),
+        ("size14", (26, 26), (26, 26), "tie"),
+    ]
 
-    def test_above_48_smaller_wins(self):
-        assert icon_rank(64, 64) > icon_rank(96, 96)
-        assert icon_rank(49, 49) > icon_rank(512, 512)
+    @pytest.mark.parametrize("case_id,a,b,winner", CASES)
+    def test_reference_comparator(self, case_id, a, b, winner):
+        ra, rb = icon_rank(*a), icon_rank(*b)
+        if winner == "a":
+            assert ra > rb
+        elif winner == "b":
+            assert ra < rb
+        else:
+            assert ra == rb
 
-    def test_above_beats_below(self):
-        assert icon_rank(96, 96) > icon_rank(47, 47)
-
-    def test_below_48_bigger_wins(self):
-        assert icon_rank(47, 47) > icon_rank(16, 16)
+    def test_above_48_bigger_wins(self):
+        # icon_finder.py:36-43: among >48 icons, prefer biggest.
+        assert icon_rank(96, 96) > icon_rank(64, 64)
+        assert icon_rank(512, 512) > icon_rank(49, 49)
 
     def test_non_square_uses_min_dim(self):
         assert icon_rank(48, 96) == icon_rank(48, 48)

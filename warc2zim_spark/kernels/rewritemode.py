@@ -114,11 +114,13 @@ ZIM_ILLUSTRATION_SIZE = 48
 
 def icon_rank(width: int, height: int) -> tuple[int, int]:
     """Sort key reproducing icon_finder.py:25-56 (descending preference when
-    sorted descending): tier 2 = exactly 48, tier 1 = >48 (smaller better →
-    negate), tier 0 = <48 (bigger better)."""
+    sorted descending): tier 2 = exactly 48, tier 1 = >48 (bigger better —
+    ``elif a_min < b_min: return -1  # prefer biggest icon (b)``), tier 0 =
+    <48 (bigger better). Pinned by the reference's tests/test_icon_finder.py
+    ``two_items_with_size2/3`` where 128×128 sorts before 96×96."""
     m = min(width, height)
     if m == ZIM_ILLUSTRATION_SIZE:
         return (2, 0)
     if m > ZIM_ILLUSTRATION_SIZE:
-        return (1, -m)
+        return (1, m)
     return (0, m)
