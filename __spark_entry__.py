@@ -239,12 +239,16 @@ def q_w_links_out(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_w_rewrite_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3/C4 — href/src/srcset/css-url rewriting against the seen-set;
-    compared as sha256 of the rewritten document (sequential golden)."""
-    from warc2zim_spark.operators.rewrite import rewritten_pages
+    compared as sha256 of the rewritten document (sequential golden).
+
+    Runs the *distributed* (no driver collect, no whole-set broadcast)
+    production path; broadcast-exact ≡ distributed-exact ≡ distributed-bloom
+    is pinned in tests/test_spark_pipeline.py."""
+    from warc2zim_spark.operators.rewrite import rewritten_pages_distributed
 
     pages = _pages(spark, sf_dir)
     seen = spark.read.parquet(f"{_web(sf_dir)}/pages_golden.parquet").select("zim_path")
-    return rewritten_pages(spark, pages, seen).select(
+    return rewritten_pages_distributed(pages, seen, mode="exact").select(
         "url", F.sha2(F.col("html_rw"), 256).alias("html_rw_sha")
     )
 

@@ -114,6 +114,27 @@ class TestSaltedPoliteness:
         key = lambda r: (r.host, r.surt_key)
         assert sorted(map(key, plain.collect())) == sorted(map(key, salted.collect()))
 
+    def test_salted_prioritize_equals_unsalted(self, spark, webdata):
+        """Two-phase global top-k is a pure physical rewrite too."""
+        from warc2zim_spark.frontier.politeness import prioritize
+        from warc2zim_spark.functions import udfs
+
+        pages = spark.read.parquet(f"{webdata}/pages.parquet")
+        cands = (
+            pages.select(
+                udfs.surt_key(F.col("url")).alias("surt_key"),
+                udfs.host_of(F.col("url")).alias("host"),
+            )
+            .filter(F.col("surt_key").isNotNull())
+            .withColumn("hops", (F.xxhash64("surt_key") % 3).cast("int"))
+            .withColumn("score", (F.pmod(F.xxhash64("host", "surt_key"), F.lit(100)) / 100.0))
+            .distinct()
+        )
+        plain = prioritize(cands, wave_budget=37)
+        salted = prioritize(cands, wave_budget=37, salt_partitions=4)
+        key = lambda r: (r.host, r.surt_key)
+        assert sorted(map(key, plain.collect())) == sorted(map(key, salted.collect()))
+
 
 class TestPoliteness:
     def test_host_budget_enforced(self, spark, web_tables, tmp_path):

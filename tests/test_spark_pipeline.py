@@ -162,3 +162,57 @@ class TestGatherAggregates:
         records = load_records(spark, webdata)
         row = warcinfo_software(records).collect()[0]
         assert row.software == "synthetic-crawler 1.0"
+
+
+class TestDistributedRewrite:
+    """The no-broadcast rewrite path must equal the broadcast-exact one, in
+    both membership modes (verdict r01 item 5)."""
+
+    def _frames(self, spark, webdata):
+        from warc2zim_spark.operators.rewrite import (
+            rewritten_pages,
+            rewritten_pages_distributed,
+        )
+
+        pages = spark.read.parquet(f"{webdata}/pages.parquet")
+        seen = spark.read.parquet(f"{webdata}/pages_golden.parquet").select(
+            "zim_path"
+        )
+        return pages, seen, rewritten_pages, rewritten_pages_distributed
+
+    def test_distributed_exact_equals_broadcast(self, spark, webdata):
+        pages, seen, broadcast_fn, dist_fn = self._frames(spark, webdata)
+        a = {r.url: r.html_rw for r in broadcast_fn(spark, pages, seen).collect()}
+        b = {r.url: r.html_rw for r in dist_fn(pages, seen, mode="exact").collect()}
+        assert a == b
+
+    def test_distributed_bloom_equals_exact(self, spark, webdata):
+        # deterministic hashing: if this passes once it always passes (any
+        # divergence would be a bloom FP re-pointing one extra link — the
+        # reference-tolerated direction, asserted separately below)
+        pages, seen, _, dist_fn = self._frames(spark, webdata)
+        a = {r.url: r.html_rw for r in dist_fn(pages, seen, mode="exact").collect()}
+        b = {r.url: r.html_rw for r in dist_fn(pages, seen, mode="bloom").collect()}
+        assert a == b
+
+    def test_bloom_hit_direction(self, spark, webdata):
+        """No false negatives: every truly-seen key hits, so every internal
+        link that should be rewritten IS rewritten; bloom error budget lives
+        only on the rewrite-a-missing-path side (fp < 1% at 16 bits/key)."""
+        from warc2zim_spark.frontier import seenfilter
+        import pyspark.sql.functions as F
+
+        seen = spark.read.parquet(f"{webdata}/pages_golden.parquet").select(
+            "zim_path"
+        ).distinct()
+        flt = seenfilter.build_bloom(seen, key_col="zim_path")
+        hits = seenfilter.probe_bloom(
+            seen.withColumnRenamed("zim_path", "target"), flt,
+            key_col="target", keep="hit",
+        )
+        assert hits.count() == seen.count()  # zero false negatives
+        absent = spark.range(2000).select(
+            F.concat(F.lit("never-seen.example/"), F.col("id")).alias("target")
+        )
+        fp = seenfilter.probe_bloom(absent, flt, key_col="target", keep="hit").count()
+        assert fp <= 20  # <1% false-positive budget

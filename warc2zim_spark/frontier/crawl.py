@@ -26,8 +26,12 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from warc2zim_spark.frontier.politeness import politeness_budget, prioritize
-from warc2zim_spark.frontier.politeness import robots_allowed
+from warc2zim_spark.frontier.politeness import (
+    DEFAULT_SALT_PARTITIONS,
+    politeness_budget,
+    prioritize,
+    robots_allowed,
+)
 from warc2zim_spark.frontier.seenfilter import unseen_exact
 from warc2zim_spark.functions import udfs
 
@@ -73,6 +77,7 @@ def crawl_wave(
     host_budget: int = 8,
     wave_budget: int = 1000,
     pages_keyed: DataFrame | None = None,
+    salt_partitions: int = DEFAULT_SALT_PARTITIONS,
 ) -> tuple[DataFrame, DataFrame]:
     """One wave → (scheduled, next_frontier_candidates).
 
@@ -97,8 +102,14 @@ def crawl_wave(
     )
     unseen = unseen_exact(best, seen)
     allowed = robots_allowed(unseen, robots)
-    polite = politeness_budget(allowed, robots, host_budget=host_budget)
-    scheduled = prioritize(polite, wave_budget=wave_budget)
+    # salted by default: the production path must survive zipf-hot hosts
+    # (salted == unsalted proven in tests/test_frontier.py)
+    polite = politeness_budget(
+        allowed, robots, host_budget=host_budget, salt_partitions=salt_partitions
+    )
+    scheduled = prioritize(
+        polite, wave_budget=wave_budget, salt_partitions=salt_partitions
+    )
 
     # "fetch": canonical-key join against the page table; extract links.
     page_keyed = pages_keyed if pages_keyed is not None else page_lookup(pages)

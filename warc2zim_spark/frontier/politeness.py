@@ -24,6 +24,10 @@ from pyspark.sql import functions as F
 
 DEFAULT_HOST_BUDGET = 8       # fetches per host per wave when no crawl-delay
 WAVE_MS = 30_000              # nominal wall-clock per wave for delay budgeting
+# default shard count for two-phase salted top-k in the production crawl path:
+# kills the zipf-hot-host straggler (one host holding 30% of candidates would
+# otherwise serialize into a single window task). Result provably identical.
+DEFAULT_SALT_PARTITIONS = 32
 
 
 def robots_allowed(candidates: DataFrame, robots: DataFrame, path_col: str = "surt_key") -> DataFrame:
@@ -119,17 +123,38 @@ def politeness_budget(
     )
 
 
-def prioritize(candidates: DataFrame, wave_budget: int | None = None) -> DataFrame:
-    """Global deterministic priority order (hops asc, score desc, surt asc),
-    optionally truncated to the wave budget. rank is computed with a window
-    over an empty partition ONLY when a global budget is requested AND the
-    candidate set was already politeness-capped (small); the full frontier is
-    never globally sorted at scale."""
+def prioritize(
+    candidates: DataFrame,
+    wave_budget: int | None = None,
+    salt_partitions: int = 0,
+) -> DataFrame:
+    """Global deterministic priority top-k (hops asc, score desc, surt asc),
+    truncated to the wave budget.
+
+    With ``salt_partitions`` > 0 this is a two-phase distributed top-k: shard
+    rows by a deterministic surt hash, keep each shard's top-``wave_budget``
+    (the true global top-k is distributed among shards and every shard keeps
+    its k best, so no true winner is dropped), then run the exact global
+    window on the ≤ salt·budget survivors. Identical result to the plain
+    global window — but the single-partition sort sees at most
+    salt_partitions × wave_budget rows instead of the whole politeness-capped
+    candidate set, which at 10^8 hosts × budget is still huge."""
     if wave_budget is None:
         return candidates
+    df = candidates
+    if salt_partitions > 0:
+        salt = F.pmod(F.xxhash64(F.col("surt_key")), F.lit(salt_partitions))
+        w_salted = Window.partitionBy(salt).orderBy(
+            F.asc("hops"), F.desc("score"), F.asc("surt_key")
+        )
+        df = (
+            df.withColumn("_salt_rank", F.row_number().over(w_salted))
+            .filter(F.col("_salt_rank") <= wave_budget)
+            .drop("_salt_rank")
+        )
     w = Window.orderBy(F.asc("hops"), F.desc("score"), F.asc("surt_key"))
     return (
-        candidates.withColumn("_rank", F.row_number().over(w))
+        df.withColumn("_rank", F.row_number().over(w))
         .filter(F.col("_rank") <= wave_budget)
         .drop("_rank")
     )

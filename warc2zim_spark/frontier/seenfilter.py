@@ -100,16 +100,28 @@ def probe_bloom(
     bloom: DataFrame,
     key_col: str = "surt_key",
     num_partitions: int = 32,
+    keep: str = "miss",
 ) -> DataFrame:
-    """Return candidate rows whose key is NOT (probably) in the filter —
-    i.e. the unseen frontier. Bloom false positives drop unseen URLs (never
-    re-crawl a seen one): the crawl-safe direction.
+    """Probe candidate keys against the partitioned filter.
+
+    ``keep="miss"`` (default) returns rows whose key is NOT (probably) in
+    the filter — the unseen frontier. Bloom false positives drop unseen URLs
+    (never re-crawl a seen one): the crawl-safe direction.
+
+    ``keep="hit"`` returns rows whose key IS (probably) in the filter — the
+    rewrite path's direction (only re-point links to paths believed present).
+    A false positive there rewrites a link to a path that won't exist, the
+    same failure class the reference tolerates via ``missing_zim_paths``
+    (rewriting.py:81).
 
     Implementation is a **cogrouped** applyInPandas on part_id: candidates
     hash to the same partition key as the bitmaps, so each task sees (its
     candidate batch, its single bitmap row) executor-side — no driver
     collect, no bitmap broadcast, no per-row duplication. This is the piece
     that must hold at 10^10 keys: total bitmap bytes stay sharded."""
+    if keep not in ("miss", "hit"):
+        raise ValueError(f"keep must be 'miss' or 'hit', got {keep!r}")
+    keep_hits = keep == "hit"
     out_schema = candidates.schema
     with_part = candidates.withColumn(
         "_part_id", partition_of(F.col(key_col), num_partitions)
@@ -120,7 +132,8 @@ def probe_bloom(
         if cand_pdf.empty:
             return cand_pdf[cols]
         if bloom_pdf.empty or int(bloom_pdf["n_keys"].iloc[0]) == 0:
-            return cand_pdf[cols]
+            # empty filter: nothing is a member
+            return cand_pdf[cols].iloc[0:0] if keep_hits else cand_pdf[cols]
         bitmap = np.frombuffer(bloom_pdf["bitmap"].iloc[0], dtype=np.uint8)
         m_bits = len(bitmap) * 8
         mask = np.uint64(m_bits - 1)
@@ -133,7 +146,7 @@ def probe_bloom(
                 >> (idx & np.uint64(7)).astype(np.uint8)
             ) & 1
             hit &= bits.astype(bool)
-        return cand_pdf[~hit][cols]
+        return cand_pdf[hit][cols] if keep_hits else cand_pdf[~hit][cols]
 
     return (
         with_part.groupBy("_part_id")

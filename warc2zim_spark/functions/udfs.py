@@ -149,6 +149,22 @@ def extract_text(htmls: pd.Series) -> pd.Series:
     return htmls.map(_textextract.extract_text, na_action="ignore")
 
 
+@pandas_udf(ArrayType(StringType()))
+def extract_link_targets(htmls: pd.Series, base_urls: pd.Series) -> pd.Series:
+    """Distinct canonical keys a page's rewrite pass would probe — the
+    extract stage of the distributed (no-broadcast) rewrite path."""
+    from warc2zim_spark.kernels import urlrewrite as _urlrewrite
+
+    return pd.Series(
+        [
+            _urlrewrite.extract_link_targets(h, u)
+            if h is not None and u is not None
+            else []
+            for h, u in zip(htmls, base_urls)
+        ]
+    )
+
+
 _META_SCHEMA = StructType(
     [
         StructField("title", StringType()),

@@ -130,6 +130,40 @@ def rewrite_html_links(
     return out
 
 
+def extract_link_targets(html: str | None, base_url: str) -> list[str]:
+    """The distinct canonical candidate keys that ``rewrite_html_links``
+    would probe against the seen set — same regexes, same skip rules, same
+    canonicalization — so a relational membership pass (explode → join →
+    collect back) is semantically identical to the broadcast-set probe.
+    Sorted for determinism."""
+    if not html:
+        return []
+    targets: set[str] = set()
+
+    def add(raw: str) -> None:
+        url = raw.strip()
+        if not url or url.startswith(_SKIP_PREFIXES):
+            return
+        try:
+            absolute = urljoin(base_url, url)
+        except ValueError:
+            return
+        t = canonicalize(absolute)
+        if t is not None:
+            targets.add(t)
+
+    for m in _ATTR_RE.finditer(html):
+        add(m.group("url"))
+    for m in _SRCSET_RE.finditer(html):
+        for candidate in m.group("val").split(","):
+            candidate = candidate.strip()
+            if candidate:
+                add(candidate.split(None, 1)[0])
+    for m in _CSS_URL_RE.finditer(html):
+        add(m.group("url"))
+    return sorted(targets)
+
+
 def rewrite_css_links(
     css: str | None, base_url: str, seen: set[str] | frozenset[str],
     doc_path: str | None = None,

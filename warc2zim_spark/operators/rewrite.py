@@ -43,13 +43,109 @@ def make_rewrite_html_udf(spark: SparkSession, seen: DataFrame):
 
 
 def rewritten_pages(spark: SparkSession, pages: DataFrame, seen: DataFrame) -> DataFrame:
-    """(url, html_rw) — decoded page HTML with internal links re-pointed."""
+    """(url, html_rw) — decoded page HTML with internal links re-pointed.
+
+    Exact broadcast mode: test scale / ≲10^7 paths where the key set fits
+    the driver. The production path at 10^10 paths is
+    ``rewritten_pages_distributed`` below."""
     rewrite_udf = make_rewrite_html_udf(spark, seen)
     html_str = udfs.decode_payload(
         F.col("html"), F.lit(None).cast("string"), F.lit("html")
     )
     return pages.select(
         "url", rewrite_udf(html_str, F.col("url")).alias("html_rw")
+    )
+
+
+@pandas_udf(StringType())
+def _rewrite_with_row_seen(
+    htmls: pd.Series, base_urls: pd.Series, seen_lists: pd.Series
+) -> pd.Series:
+    """(html, base_url, row-local confirmed targets[]) → rewritten html."""
+    out = []
+    for h, u, s in zip(htmls, base_urls, seen_lists):
+        if h is None or u is None:
+            out.append(None)
+        else:
+            keys = frozenset(s) if s is not None else frozenset()
+            out.append(_urlrewrite.rewrite_html_links(h, u, keys))
+    return pd.Series(out)
+
+
+def rewritten_pages_distributed(
+    pages: DataFrame,
+    seen: DataFrame,
+    mode: str = "exact",
+    bloom: DataFrame | None = None,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """(url, html_rw) with **no driver collect and no whole-set broadcast** —
+    the 10^10-path shape.
+
+    Three relational passes:
+
+    1. extract: each page emits the distinct canonical keys its links would
+       probe (``extract_link_targets`` — provably the same keys
+       ``rewrite_html_links`` checks), exploded to (url, target) rows.
+    2. probe: membership against the seen set — ``mode="exact"`` is a
+       semi-join (shuffles only the narrow key rows, never HTML);
+       ``mode="bloom"`` probes the partitioned bitmap cogroup-side
+       (seenfilter.probe_bloom, keep="hit") so the seen set never
+       materializes as rows at all. A bloom FP re-points a link to a missing
+       path — the reference's tolerated ``missing_zim_paths`` class.
+    3. rewrite: per-page confirmed targets are collected into a row-local
+       array and joined back; the UDF probes that tiny frozenset.
+
+    The only wide exchange touching HTML bytes is the final join back to
+    ``pages`` on url; pre-bucketing the page table by url makes it
+    shuffle-free. Per-page link fan-out is bounded (~10^2), so the
+    collect_set array stays small."""
+    html_str = udfs.decode_payload(
+        F.col("html"), F.lit(None).cast("string"), F.lit("html")
+    )
+    candidates = (
+        pages.select(
+            "url",
+            F.explode(udfs.extract_link_targets(html_str, F.col("url"))).alias(
+                "target"
+            ),
+        )
+    )
+    if mode == "exact":
+        confirmed = candidates.join(
+            seen.select(F.col("zim_path").alias("target")).distinct(),
+            "target",
+            "left_semi",
+        )
+    elif mode == "bloom":
+        from warc2zim_spark.frontier import seenfilter
+
+        flt = bloom if bloom is not None else seenfilter.build_bloom(
+            seen.select(F.col("zim_path")), key_col="zim_path",
+            num_partitions=num_partitions,
+        )
+        confirmed = seenfilter.probe_bloom(
+            candidates, flt, key_col="target",
+            num_partitions=num_partitions, keep="hit",
+        )
+    else:
+        raise ValueError(f"mode must be 'exact' or 'bloom', got {mode!r}")
+
+    page_seen = confirmed.groupBy("url").agg(
+        F.sort_array(F.collect_set("target")).alias("_seen_targets")
+    )
+    return (
+        pages.join(page_seen, "url", "left")
+        .select(
+            "url",
+            _rewrite_with_row_seen(
+                html_str,
+                F.col("url"),
+                F.coalesce(
+                    F.col("_seen_targets"), F.array().cast("array<string>")
+                ),
+            ).alias("html_rw"),
+        )
     )
 
 
