@@ -103,6 +103,44 @@ def q_w_main_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     return main_page_candidate(_content(spark, sf_dir))
 
 
+def q_w_main_page_redirect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 — main-page redirect follow (converter.py:586-606): a --url
+    stand-in at the datagen fixture chain head (302→301→307) must re-point
+    to the chain's final path. Independent oracle: DuckDB recursive CTE over
+    the {301,302,307} first-wins edge map."""
+    from warc2zim_spark.operators.gather import main_page_resolved
+
+    main = spark.createDataFrame(
+        [("redir.example/main-start", "https://redir.example/main-start")],
+        "zim_path string, url string",
+    )
+    return main_page_resolved(_content(spark, sf_dir), main)
+
+
+def q_w_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 — the full ZIM metadata frame (converter.py:345-394): title/lang
+    cascades off the main page, date range → X-ContentDate, warcinfo →
+    Scraper. Oracle re-derives every entry in SQL from golden inputs
+    (pages_golden title/lang_decl + a literal en→eng CASE map); the
+    Illustration value is a shared constant (fallback transparent PNG),
+    interpolated into both sides."""
+    from warc2zim_spark.operators.metadata import zim_metadata
+
+    return zim_metadata(
+        _content(spark, sf_dir), _records(spark, sf_dir), name="test"
+    )
+
+
+def q_w_static_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 — the ``_zim_static/`` rows unioned into the items sink
+    (converter.py:396-409; items.py:65-107)."""
+    from warc2zim_spark.operators.metadata import static_asset_items
+
+    return static_asset_items(spark, custom_css=b"body{}").select(
+        "zim_path", "mime", "payload_len"
+    )
+
+
 def q_w_pairing_urlkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1+J2 — responses that acquired a synthesized POST/PUT urlkey via
     adjacent-request pairing."""
@@ -513,6 +551,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_seen_set": q_w_seen_set,
         "w_date_range": q_w_date_range,
         "w_main_page": q_w_main_page,
+        "w_main_page_redirect": q_w_main_page_redirect,
+        "w_metadata": q_w_metadata,
+        "w_static_assets": q_w_static_assets,
         "w_pairing_urlkey": q_w_pairing_urlkey,
         "w_rewrite_mode": q_w_rewrite_mode,
         "w_decode": q_w_decode,
@@ -545,6 +586,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_top_orders": q_t_top_orders,
         "t_events_windows": q_t_events_windows,
     }
+
+
+import base64 as _b64
+
+from warc2zim_spark import __version__ as _PKG_VERSION
+from warc2zim_spark.operators.metadata import STATIC_JS_ASSETS as _SJA
+from warc2zim_spark.operators.metadata import transparent_png as _tpng
+
+# shared constants between Spark side and oracle (constants are the spec,
+# not derived results — see q_w_metadata docstring)
+_ILLU_B64 = _b64.b64encode(_tpng(48)).decode("ascii")
+_STATIC_LENS = [len(c.encode("utf-8")) for _, c in _SJA]
 
 
 def _web_sql(sf: str = "sf0.01") -> dict[str, str]:
@@ -621,6 +674,79 @@ def _web_sql(sf: str = "sf0.01") -> dict[str, str]:
             AND split_part(coalesce(mime, ''), ';', 1) = 'text/html'
             AND octet_length(payload) > 0
           ORDER BY file_seq, rec_seq LIMIT 1
+        """,
+        "w_metadata": f"""
+          WITH content AS ({content}),
+          mp AS (
+            SELECT url FROM content
+            WHERE rec_type = 'response' AND status = 200
+              AND split_part(coalesce(mime, ''), ';', 1) = 'text/html'
+              AND octet_length(payload) > 0
+            ORDER BY file_seq, rec_seq LIMIT 1
+          ),
+          g AS (
+            SELECT
+              coalesce(nullif(pg.title, ''), 'Untitled') AS raw_title,
+              lower(split_part(split_part(pg.lang_decl, '-', 1), '_', 1)) AS lang2
+            FROM {pg} pg JOIN mp ON pg.url = mp.url
+          ),
+          d AS (
+            SELECT strftime(min(warc_date), '%Y-%m-%d') AS ds,
+                   strftime(max(warc_date), '%Y-%m-%d') AS de
+            FROM content
+          ),
+          sw AS (
+            SELECT regexp_extract(decode(payload), 'software:\\s*([^\\r\\n]+)', 1) AS software
+            FROM {rec}
+            WHERE rec_type = 'warcinfo'
+            ORDER BY file_seq, rec_seq LIMIT 1
+          ),
+          one AS (SELECT * FROM g, d, sw)
+          SELECT 'Name' AS name, 'test' AS value FROM one
+          UNION ALL SELECT 'Language', CASE
+              WHEN lang2 IS NULL THEN 'eng'
+              WHEN lang2 = 'en' THEN 'eng' WHEN lang2 = 'es' THEN 'spa'
+              WHEN lang2 = 'fr' THEN 'fra' WHEN lang2 = 'de' THEN 'deu'
+              WHEN lang2 = 'zh' THEN 'zho' ELSE 'eng' END FROM one
+          UNION ALL SELECT 'Title', CASE WHEN length(raw_title) > 30
+              THEN substring(raw_title, 1, 29) || '…' ELSE raw_title END FROM one
+          UNION ALL SELECT 'Description', '-' FROM one
+          UNION ALL SELECT 'Creator', '-' FROM one
+          UNION ALL SELECT 'Publisher', 'openZIM' FROM one
+          UNION ALL SELECT 'Date', de FROM one
+          UNION ALL SELECT 'Illustration_48x48@1', '{_ILLU_B64}' FROM one
+          UNION ALL SELECT 'Scraper', 'warc2zim-spark {_PKG_VERSION},' || software FROM one
+          UNION ALL SELECT 'X-ContentDate',
+              CASE WHEN ds = de THEN ds ELSE ds || ',' || de END FROM one
+        """,
+        "w_static_assets": f"""
+          SELECT * FROM (VALUES
+            ('_zim_static/wombat.js', 'text/javascript', CAST({_STATIC_LENS[0]} AS BIGINT)),
+            ('_zim_static/wombatSetup.js', 'text/javascript', CAST({_STATIC_LENS[1]} AS BIGINT)),
+            ('_zim_static/custom.css', 'text/css', CAST(6 AS BIGINT))
+          ) AS t(zim_path, mime, payload_len)
+        """,
+        "w_main_page_redirect": f"""
+          WITH RECURSIVE mp_edges AS (
+            SELECT src_path, tgt_path FROM (
+              SELECT zim_path_g AS src_path, redirect_target_path_g AS tgt_path,
+                     row_number() OVER (PARTITION BY zim_path_g ORDER BY file_seq, rec_seq) AS rn
+              FROM ({content})
+              WHERE rec_type = 'response' AND status IN (301,302,307)
+                AND http_location IS NOT NULL AND http_location <> ''
+                AND redirect_target_path_g IS NOT NULL
+                AND redirect_target_path_g <> zim_path_g
+            ) WHERE rn = 1
+          ),
+          walk(node, depth) AS (
+            SELECT 'redir.example/main-start', 0
+            UNION ALL
+            SELECT e.tgt_path, w.depth + 1
+            FROM walk w JOIN mp_edges e ON e.src_path = w.node
+            WHERE w.depth < 32
+          )
+          SELECT node AS zim_path, 'https://redir.example/main-start' AS url
+          FROM walk ORDER BY depth DESC LIMIT 1
         """,
         "w_pairing_urlkey": f"""
           SELECT file_seq, rec_seq, urlkey_g AS urlkey FROM {rec}

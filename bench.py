@@ -236,7 +236,7 @@ def run_scaling_workload(cpus: int, sf_dir: str, k: int | None = None) -> dict:
     unseen = unseen_exact(candidates, seen)
     allowed = robots_allowed(unseen, robots)
     polite = politeness_budget(allowed, robots, host_budget=100, salt_partitions=8)
-    n_sched = force(prioritize(polite, wave_budget=500_000))
+    n_sched = force(prioritize(polite, wave_budget=500_000, salt_partitions=8))
     t_crawl = time.time() - t0
 
     total_t = t_items + t_text + t_crawl

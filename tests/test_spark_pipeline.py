@@ -216,3 +216,55 @@ class TestDistributedRewrite:
         )
         fp = seenfilter.probe_bloom(absent, flt, key_col="target", keep="hit").count()
         assert fp <= 20  # <1% false-positive budget
+
+
+class TestMainPageRedirect:
+    """J5 — converter.py:586-606: main path re-points through 301/302/307
+    Location chains; 308 and non-redirect paths don't fire."""
+
+    def _content(self, spark):
+        rows = [
+            # (file_seq, rec_seq, rec_type, status, effective_url, zim_path, http_location)
+            (0, 1, "response", 302, "https://m.example/start", "m.example/start", "/hop1"),
+            (0, 2, "response", 301, "https://m.example/hop1", "m.example/hop1", "/hop2"),
+            (0, 3, "response", 307, "https://m.example/hop2", "m.example/hop2", "/final"),
+            (0, 4, "response", 200, "https://m.example/final", "m.example/final", None),
+            # 308 must NOT participate in the main-page follow
+            (0, 5, "response", 308, "https://m.example/perm", "m.example/perm", "/elsewhere"),
+            (0, 6, "response", 200, "https://m.example/plain", "m.example/plain", None),
+        ]
+        return spark.createDataFrame(
+            rows,
+            "file_seq long, rec_seq long, rec_type string, status int, "
+            "effective_url string, zim_path string, http_location string",
+        )
+
+    def _main(self, spark, path, url):
+        return spark.createDataFrame([(path, url)], "zim_path string, url string")
+
+    def test_chain_followed(self, spark):
+        from warc2zim_spark.operators.gather import main_page_resolved
+
+        out = main_page_resolved(
+            self._content(spark),
+            self._main(spark, "m.example/start", "https://m.example/start"),
+        ).collect()
+        assert len(out) == 1 and out[0].zim_path == "m.example/final"
+
+    def test_308_not_followed(self, spark):
+        from warc2zim_spark.operators.gather import main_page_resolved
+
+        out = main_page_resolved(
+            self._content(spark),
+            self._main(spark, "m.example/perm", "https://m.example/perm"),
+        ).collect()
+        assert out[0].zim_path == "m.example/perm"
+
+    def test_non_redirect_passthrough(self, spark):
+        from warc2zim_spark.operators.gather import main_page_resolved
+
+        out = main_page_resolved(
+            self._content(spark),
+            self._main(spark, "m.example/plain", "https://m.example/plain"),
+        ).collect()
+        assert out[0].zim_path == "m.example/plain"

@@ -149,6 +149,16 @@ def extract_text(htmls: pd.Series) -> pd.Series:
     return htmls.map(_textextract.extract_text, na_action="ignore")
 
 
+@pandas_udf(StringType())
+def parse_language_codes(lang_decls: pd.Series) -> pd.Series:
+    """A8 — declared language value(s) → deduped ISO-639-3 list string
+    (kernels/language.parse_language); null in → null out so the metadata
+    cascade's coalesce can fall through to 'eng'."""
+    from warc2zim_spark.kernels.language import parse_language
+
+    return lang_decls.map(parse_language, na_action="ignore")
+
+
 @pandas_udf(ArrayType(StringType()))
 def extract_link_targets(htmls: pd.Series, base_urls: pd.Series) -> pd.Series:
     """Distinct canonical keys a page's rewrite pass would probe — the

@@ -16,6 +16,7 @@ from warc2zim_spark.functions.expressions import (
     is_processable_status,
     is_redirect_status,
 )
+from warc2zim_spark.kernels.status import MAIN_PAGE_REDIRECT_STATUSES
 
 
 def date_range(content: DataFrame) -> DataFrame:
@@ -52,6 +53,42 @@ def main_page_candidate(content: DataFrame) -> DataFrame:
         .orderBy("file_seq", "rec_seq")
         .limit(1)
         .select("zim_path", F.col("effective_url").alias("url"), "file_seq", "rec_seq")
+    )
+
+
+def main_page_resolved(
+    content: DataFrame, main: DataFrame | None = None
+) -> DataFrame:
+    """J5 — main-page redirect follow (converter.py:586-606): when the record
+    at the main path answers 301/302/307, re-point the main path to
+    ``normalize(urljoin(record_url, Location))`` and repeat until the path's
+    record is not a redirect.
+
+    ``main``: optional 1-row (zim_path, url, ...) override standing in for
+    the reference's ``--url`` flag; defaults to A4 auto-selection (which
+    picks a status-200 record, so the follow only fires when the same path
+    ALSO carries an earlier first-wins redirect record, or when a caller
+    supplies the path explicitly).
+
+    Distributed shape: the {301,302,307} first-wins edge map is chased to
+    its last node with pointer doubling (redirects.chase_chain) — no
+    driver-side loop; the main row then left-joins the (node → final) map.
+    Output: (zim_path, url) with zim_path re-pointed when a chain applies."""
+    from warc2zim_spark.operators.redirects import chase_chain, redirect_edges
+
+    if main is None:
+        main = main_page_candidate(content)
+    edges = redirect_edges(
+        content,
+        status_filter=lambda s: s.isin(list(MAIN_PAGE_REDIRECT_STATUSES)),
+    )
+    final = chase_chain(edges)
+    return (
+        main.join(final, main.zim_path == final.node, "left")
+        .select(
+            F.coalesce(F.col("final_path"), F.col("zim_path")).alias("zim_path"),
+            "url",
+        )
     )
 
 

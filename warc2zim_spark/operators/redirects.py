@@ -30,14 +30,20 @@ from warc2zim_spark.functions.expressions import is_redirect_status
 MAX_CHAIN = 32  # chains longer than this are treated as loops and dropped
 
 
-def redirect_edges(content_records: DataFrame) -> DataFrame:
+def redirect_edges(content_records: DataFrame, status_filter=None) -> DataFrame:
     """(src_path, tgt_path) edges: redirect-status responses with a Location
     that resolves to a *different* ZimPath (converter.py:519-543, P10 self-
     redirect drop); first occurrence per source wins (dict-insert semantics,
-    'if zim_path not in self.redirections')."""
+    'if zim_path not in self.redirections').
+
+    ``status_filter``: optional Column predicate builder replacing the
+    default P9 whitelist — the main-page follow (J5) uses the narrower
+    {301, 302, 307} set (converter.py:588-592 lists MOVED_PERMANENTLY,
+    TEMPORARY_REDIRECT, FOUND — no 308)."""
+    pred = status_filter if status_filter is not None else is_redirect_status
     edges = (
         content_records.filter(F.col("rec_type") == "response")
-        .filter(is_redirect_status(F.col("status")))
+        .filter(pred(F.col("status")))
         .filter(F.col("http_location").isNotNull() & (F.col("http_location") != ""))
         .withColumn(
             "tgt_path",
@@ -158,6 +164,47 @@ def resolve_fixpoint(edges: DataFrame, expected: DataFrame) -> DataFrame:
             ).alias("kept"),
         )
     )
+
+
+def chase_chain(edges: DataFrame) -> DataFrame:
+    """(node, final_path) — follow edges to their last reachable node via
+    pointer doubling, absorbing at nodes with no outgoing edge. No
+    expected-set absorption: this is the raw chain-follow the main-page
+    redirect needs (converter.py:586-606 loops until the record at the path
+    is not a redirect). Cycles: after 2^K ≥ MAX_CHAIN doublings the walk
+    lands somewhere inside the cycle; callers that must detect loops join
+    ``final_path`` back against edge sources."""
+    nodes = (
+        edges.select(F.col("src_path").alias("node"))
+        .union(edges.select(F.col("tgt_path").alias("node")))
+        .distinct()
+    )
+    mapping = (
+        nodes.join(
+            edges.select(F.col("src_path").alias("e_src"), "tgt_path"),
+            F.col("node") == F.col("e_src"),
+            "left",
+        )
+        .select(
+            "node",
+            F.coalesce(F.col("tgt_path"), F.col("node")).alias("next"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    rounds = max(1, math.ceil(math.log2(MAX_CHAIN)))
+    for _ in range(rounds):
+        hop2 = mapping.select(
+            F.col("node").alias("j_node"), F.col("next").alias("j_next")
+        )
+        mapping = (
+            mapping.join(hop2, mapping.next == hop2.j_node, "left")
+            .select(
+                "node",
+                F.coalesce(F.col("j_next"), F.col("next")).alias("next"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return mapping.select("node", F.col("next").alias("final_path"))
 
 
 def kept_redirects(edges: DataFrame, expected: DataFrame) -> DataFrame:

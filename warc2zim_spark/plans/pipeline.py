@@ -30,6 +30,11 @@ from warc2zim_spark.operators.gather import (
 )
 from warc2zim_spark.operators.items import items_table, revisit_aliases
 from warc2zim_spark.operators.records import content_records, load_records
+from warc2zim_spark.operators.metadata import (
+    items_with_static,
+    static_asset_items,
+    zim_metadata,
+)
 from warc2zim_spark.operators.redirects import (
     expected_with_redirects,
     kept_redirects,
@@ -42,8 +47,14 @@ def run_pipeline(
     webdata_dir: str,
     out_dir: str,
     include_domains: list[str] | None = None,
+    name: str = "warc2zim-spark-output",
+    custom_css: bytes | None = None,
+    metadata_args: dict | None = None,
 ) -> dict:
-    """Full pass1 + pass2 → tables under ``out_dir``; returns run metrics."""
+    """Full pass1 + pass2 → tables under ``out_dir``; returns run metrics.
+
+    ``metadata_args``: keyword passthrough to ``zim_metadata`` (title,
+    language, description, tags, ... — the reference's CLI flags)."""
     t0 = time.time()
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
@@ -63,24 +74,26 @@ def run_pipeline(
     items = items_table(content, include_domains).cache()
     aliases = revisit_aliases(content, items)
 
-    items.write.mode("overwrite").parquet(str(out / "items"))
+    # S8: static assets union into the item sink (converter.py:396-409)
+    all_items = items_with_static(items, static_asset_items(spark, custom_css))
+
+    all_items.write.mode("overwrite").parquet(str(out / "items"))
     redirects.write.mode("overwrite").parquet(str(out / "redirects"))
     aliases.write.mode("overwrite").parquet(str(out / "aliases"))
     full_expected.write.mode("overwrite").parquet(str(out / "expected"))
 
-    # metadata table (S7): the ~15-entry equivalent, one row per key
-    date_row = dates.collect()[0]
+    # S7: the full metadata frame (validated fail-fast inside), plus the
+    # engine's own operational entries
+    meta = zim_metadata(content, records, name=name, **(metadata_args or {}))
     main_row = main_page.collect()
-    software_row = software.collect()
-    metadata = [
-        ("X-ContentDate", f"{date_row.warc_start},{date_row.warc_end}"),
-        ("Main-Path", main_row[0].zim_path if main_row else ""),
-        ("Scraper-Source", software_row[0].software if software_row else ""),
-        ("Counter-Items", str(items.count())),
-    ]
-    spark.createDataFrame(metadata, "key string, value string").write.mode(
-        "overwrite"
-    ).parquet(str(out / "metadata"))
+    extra = spark.createDataFrame(
+        [
+            ("Main-Path", main_row[0].zim_path if main_row else ""),
+            ("Counter-Items", str(all_items.count())),
+        ],
+        "name string, value string",
+    )
+    meta.unionByName(extra).write.mode("overwrite").parquet(str(out / "metadata"))
 
     metrics = {
         "items": items.count(),

@@ -391,6 +391,17 @@ def generate_warc_records(pages: pa.Table, seed: int = SEED) -> pa.Table:
     emit("response", "https://redir.example/also-item", status=301,
          mime="text/html", http_location=first_page)
 
+    # J5 main-page redirect chain: a --url stand-in at main-start follows
+    # 302 → 301 → 307 to a real page. Forward-in-stream and acyclic with one
+    # record per path, so the reference's positional forward-scan
+    # (converter.py:586-606) and the engine's position-free chase agree.
+    emit("response", "https://redir.example/main-start", status=302,
+         mime="text/html", http_location="/main-hop1")
+    emit("response", "https://redir.example/main-hop1", status=301,
+         mime="text/html", http_location="/main-hop2")
+    emit("response", "https://redir.example/main-hop2", status=307,
+         mime="text/html", http_location=urls[2 % n])
+
     # non-http schemes + empty urls (filtered) — use resource/noise rows
     emit("response", "intent://open.app/x", status=200, mime="text/html",
          payload=b"<html>app</html>")
