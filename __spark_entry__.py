@@ -141,6 +141,50 @@ def q_w_static_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_w_jsonp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6/C7 — jsonp/json rewrite over the datagen case matrix; oracle
+    re-derives with DuckDB regexes (incl. the reference's anchored-match
+    dead branch for absolute URLs, rewriting.py:26,48-52)."""
+    from warc2zim_spark.functions import udfs
+
+    cases = spark.read.parquet(f"{_web(sf_dir)}/jsonp_cases.parquet")
+    return cases.select(
+        "case_id",
+        udfs.jsonp_rewrite(F.col("content"), F.col("url")).alias("rewritten"),
+    )
+
+
+def q_w_warcinfo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — first warcinfo record's software field (converter.py:463-477)."""
+    from warc2zim_spark.operators.gather import warcinfo_software
+
+    return warcinfo_software(_records(spark, sf_dir))
+
+
+def q_w_expected_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 — expected items ∪ kept-redirect sources (converter.py:692-696)."""
+    from warc2zim_spark.operators.gather import expected_items
+    from warc2zim_spark.operators.redirects import (
+        expected_with_redirects,
+        redirect_edges,
+    )
+
+    content = _content(spark, sf_dir)
+    return expected_with_redirects(
+        redirect_edges(content), expected_items(content)
+    )
+
+
+def q_w_include_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 — netloc-endswith domain gate on the items table
+    (converter.py:960-966); fixture domain covers the statuses.example rows."""
+    from warc2zim_spark.operators.items import items_table
+
+    return items_table(
+        _content(spark, sf_dir), ["statuses.example"]
+    ).select("zim_path", "url", "status")
+
+
 def q_w_pairing_urlkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1+J2 — responses that acquired a synthesized POST/PUT urlkey via
     adjacent-request pairing."""
@@ -397,7 +441,9 @@ def q_d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming ≤ 3) via 16-bit-block pigeonhole."""
+    """SimHash near-dup pairs (hamming ≤ 3) via Manku block-combination
+    tables (C(6,3)=20 keys of ~32 bits); brute-force all-pairs DuckDB
+    oracle pins exact completeness."""
     from warc2zim_spark.operators.dedup import simhash_near_duplicates
 
     return simhash_near_duplicates(_docs(spark, sf_dir), max_hamming=3)
@@ -554,6 +600,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_main_page_redirect": q_w_main_page_redirect,
         "w_metadata": q_w_metadata,
         "w_static_assets": q_w_static_assets,
+        "w_jsonp": q_w_jsonp,
+        "w_warcinfo": q_w_warcinfo,
+        "w_expected_full": q_w_expected_full,
+        "w_include_domains": q_w_include_domains,
         "w_pairing_urlkey": q_w_pairing_urlkey,
         "w_rewrite_mode": q_w_rewrite_mode,
         "w_decode": q_w_decode,
@@ -725,6 +775,58 @@ def _web_sql(sf: str = "sf0.01") -> dict[str, str]:
             ('_zim_static/wombatSetup.js', 'text/javascript', CAST({_STATIC_LENS[1]} AS BIGINT)),
             ('_zim_static/custom.css', 'text/css', CAST(6 AS BIGINT))
           ) AS t(zim_path, mime, payload_len)
+        """,
+        "w_jsonp": f"""
+          WITH x AS (
+            SELECT case_id, url, content,
+              regexp_extract(url, '^[?].*(?i:callback|jsonp)=([^&]+)', 1) AS cb,
+              regexp_extract(content,
+                '^(?:\\s*(?:(?:/\\*[^*]*\\*/)|(?://[^\\n]+[\\n])))*\\s*([\\w.]+)\\(([{{\\[])',
+                1) AS fn
+            FROM read_parquet('{WEBROOT}/{sf}/jsonp_cases.parquet')
+          )
+          SELECT case_id,
+            CASE WHEN cb <> '' AND cb <> '?' AND fn <> ''
+                 THEN cb || fn ELSE content END AS rewritten
+          FROM x
+        """,
+        "w_warcinfo": f"""
+          SELECT regexp_extract(decode(payload), 'software:\\s*([^\\r\\n]+)', 1) AS software
+          FROM {rec} WHERE rec_type = 'warcinfo'
+          ORDER BY file_seq, rec_seq LIMIT 1
+        """,
+        "w_expected_full": f"""
+          WITH RECURSIVE edges AS ({edges}), expected AS ({expected}),
+          chase(src, cur, hops) AS (
+            SELECT src_path, tgt_path, 1 FROM edges
+            WHERE src_path NOT IN (SELECT zim_path FROM expected)
+            UNION ALL
+            SELECT c.src, e.tgt_path, c.hops + 1
+            FROM chase c JOIN edges e ON c.cur = e.src_path
+            WHERE c.hops < 32
+              AND c.cur NOT IN (SELECT zim_path FROM expected)
+          )
+          SELECT zim_path FROM expected
+          UNION
+          SELECT e.src_path AS zim_path FROM edges e
+          WHERE EXISTS (
+            SELECT 1 FROM chase c
+            WHERE c.src = e.src_path
+              AND c.cur IN (SELECT zim_path FROM expected)
+          )
+        """,
+        "w_include_domains": f"""
+          WITH content AS ({content}),
+          cand AS (
+            SELECT zim_path_g AS zim_path, eff_url AS url, status, file_seq, rec_seq,
+                   row_number() OVER (PARTITION BY zim_path_g ORDER BY file_seq, rec_seq) AS rn
+            FROM content
+            WHERE rec_type = 'response' AND status IN (200,201,202,203)
+              AND octet_length(payload) > 0
+              AND lower(split_part(split_part(split_part(eff_url, '://', 2), '/', 1), ':', 1))
+                  LIKE '%statuses.example'
+          )
+          SELECT zim_path, url, status FROM cand WHERE rn = 1
         """,
         "w_main_page_redirect": f"""
           WITH RECURSIVE mp_edges AS (
@@ -900,6 +1002,12 @@ def _doc_sql(sf: str = "sf0.01") -> dict[str, str]:
                       / CAST(len(list_distinct(a.bag || b.bag)) AS DOUBLE) END) >= 0.8
         """,
         "d_simhash": f"SELECT doc_id, simhash FROM {dg}",
+        "d_simhash_pairs": f"""
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 bit_count(xor(a.simhash, b.simhash)) AS hamming
+          FROM {dg} a JOIN {dg} b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
         "d_langid": f"SELECT doc_id, lang_pred FROM {dg}",
         "d_quality": """
           SELECT doc_id,
@@ -980,9 +1088,11 @@ def _tpch_sql() -> dict[str, str]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracles. Omitted (rows-only driver check): e_ann_lsh
-    (approximate by design — recall pinned in tests), d_simhash_pairs
-    (needs the simhash UDF on both sides of the pair join),
-    m_media_features (stub decode inside mapInPandas)."""
+    (approximate by design — recall pinned in tests), m_media_features
+    (stub decode inside mapInPandas). d_simhash_pairs now has a brute-force
+    all-pairs oracle over the sequential simhash goldens — it verifies the
+    blocking scheme's exact completeness, while the hash values themselves
+    are cross-checked by d_simhash."""
     out: dict[str, str] = {}
     out.update(_web_sql("sf0.01"))
     out.update(_doc_sql("sf0.01"))

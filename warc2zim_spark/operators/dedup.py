@@ -23,6 +23,8 @@ pathological sizes (all-identical corpora) are capped by a per-bucket limit.
 
 from __future__ import annotations
 
+from itertools import combinations
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -143,37 +145,59 @@ def ngram_jaccard_pairs(
 
 def simhash_near_duplicates(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    max_hamming: int = 3,
+    max_hamming: int = 3, num_blocks: int = 6,
 ) -> DataFrame:
     """SimHash near-dups: pairs with hamming(sim_a, sim_b) ≤ max_hamming.
-    Blocking: split the 64-bit hash into 4×16-bit blocks — any pair within
-    hamming ≤ 3 agrees on ≥1 block (pigeonhole), so block-equality joins
-    find all such pairs without O(n²)."""
+
+    Blocking (Manku et al., WWW'07 §3): split the 64-bit hash into
+    ``num_blocks`` blocks and build one join key per (num_blocks −
+    max_hamming)-block combination — the concatenation of those blocks. Any
+    pair within hamming ≤ d differs in at most d blocks, so SOME combination
+    of the other (b − d) blocks agrees exactly (pigeonhole) and the pair
+    co-buckets in that table. With b = 6, d = 3: C(6,3) = 20 tables keyed on
+    ~32 agreeing bits → ~4·10⁹ distinct bucket values, vs 2¹⁶ per key in the
+    naive 4-block scheme whose buckets hold n/65 536 docs each and go
+    quadratic at 10⁹ docs. Cost: 20 rows/doc instead of 4 — a 5× narrow-row
+    shuffle buys ~65 000× smaller buckets.
+
+    Requires num_blocks > max_hamming; completeness is exact, not
+    probabilistic (pinned against a brute-force all-pairs oracle)."""
+    if num_blocks <= max_hamming:
+        raise ValueError("num_blocks must exceed max_hamming (pigeonhole)")
     sims = docs.select(
         F.col(id_col).alias("doc_id"),
         udfs.simhash(F.col(text_col)).alias("sim"),
     )
-    blocks = sims.select(
+    # block bit-ranges: distribute 64 bits as evenly as possible
+    base, extra = divmod(64, num_blocks)
+    sizes = [base + (1 if i < extra else 0) for i in range(num_blocks)]
+    offsets = [sum(sizes[:i]) for i in range(num_blocks)]
+    block_exprs = [
+        F.shiftrightunsigned(F.col("sim"), offsets[i]).bitwiseAND(
+            F.lit((1 << sizes[i]) - 1)
+        )
+        for i in range(num_blocks)
+    ]
+    keep = num_blocks - max_hamming
+    combo_keys = [
+        F.concat_ws("|", *[block_exprs[i].cast("string") for i in combo])
+        for combo in combinations(range(num_blocks), keep)
+    ]
+    keyed = sims.select(
         "doc_id", "sim",
-        F.posexplode(
-            F.array(*[
-                F.shiftrightunsigned(F.col("sim"), k * 16).bitwiseAND(F.lit(0xFFFF))
-                for k in range(4)
-            ])
-        ).alias("block_no", "block_val"),
+        F.posexplode(F.array(*combo_keys)).alias("combo_no", "combo_key"),
     )
-    a = blocks.select(F.col("doc_id").alias("id_a"), F.col("sim").alias("sim_a"),
-                      "block_no", "block_val")
-    b = blocks.select(F.col("doc_id").alias("id_b"), F.col("sim").alias("sim_b"),
-                      "block_no", "block_val")
+    a = keyed.select(F.col("doc_id").alias("id_a"), F.col("sim").alias("sim_a"),
+                     "combo_no", "combo_key")
+    b = keyed.select(F.col("doc_id").alias("id_b"), F.col("sim").alias("sim_b"),
+                     "combo_no", "combo_key")
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (
-        a.join(b, ["block_no", "block_val"])
+        a.join(b, ["combo_no", "combo_key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", hamming.alias("hamming"), "sim_a", "sim_b")
+        .filter(hamming <= max_hamming)
+        .select("id_a", "id_b", hamming.alias("hamming"))
         .distinct()
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
     )
 
 

@@ -563,6 +563,32 @@ def generate_encoded_payloads() -> pa.Table:
     )
 
 
+def generate_jsonp_cases() -> pa.Table:
+    """C6/C7 jsonp/json rewrite matrix (rewriting.py:22-26, 264-279):
+    anchored callback regex (dead for absolute URLs — the reference quirk),
+    comment-prefixed bodies, '?' callback exclusion, case-insensitive keys.
+    Expectations are NOT stored — the oracle re-derives them in SQL."""
+    cases = [
+        ("match-basic", "?callback=myFn", 'oldFn({"a":1})'),
+        ("dead-absolute-url", "https://x.example/api?callback=myFn", 'oldFn({"a":1})'),
+        ("comment-prefixed", "?jsonp=j2", '/* hdr */\n// note\n fn.name({"x":1})'),
+        ("no-callback-param", "?other=1", "fn({1})"),
+        ("question-callback", "?callback=?&x=1", "fn({1})"),
+        ("non-jsonp-body", "?callback=cb", "var x = 1;"),
+        ("case-insensitive-key", "?CALLBACK=Mixed", "fn([1])"),
+        ("jsonp-key-second", "?a=1&jsonp=jj", "f9({"),
+        ("array-open", "?callback=arr", "wrap([{...}])"),
+        ("dotted-fn", "?callback=c.b", "ns.inner.fn({})"),
+    ]
+    return pa.table(
+        {
+            "case_id": pa.array([c[0] for c in cases], pa.string()),
+            "url": pa.array([c[1] for c in cases], pa.string()),
+            "content": pa.array([c[2] for c in cases], pa.string()),
+        }
+    )
+
+
 def generate_seeds(pages_golden: pa.Table, seed: int = SEED) -> pa.Table:
     """Fixed seed list: first page per of the 5 hottest hosts (FIXTURES §4)."""
     rng = random.Random(seed + 2)
@@ -819,6 +845,7 @@ def ensure_webdata(sf_name: str, root: str = "/root/repo/webdata") -> Path:
     _write(golden, out / "pages_golden.parquet")
     _write(records, out / "warc_records.parquet")
     _write(generate_encoded_payloads(), out / "encoded_payloads.parquet")
+    _write(generate_jsonp_cases(), out / "jsonp_cases.parquet")
     _write(generate_seeds(golden), out / "seeds.parquet")
     _write(generate_robots(golden), out / "robots.parquet")
     testdata = Path("/root/testdata") / sf_name / "documents.parquet"
