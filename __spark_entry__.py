@@ -141,6 +141,64 @@ def q_w_static_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_w_items_from_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S3 — the items table computed from RAW WARC BYTES (binaryFile →
+    mapInPandas stdlib parser → same operators), proving the engine needs no
+    pre-parsed table. Oracle is the w_items SQL over the pre-parsed golden
+    table — full independence from the byte path. rec_seq is within-file on
+    the byte path (global counter in the table), so the compare projects the
+    order-insensitive columns; first-wins winners are identical because
+    (file_seq, within-file ordinal) and (file_seq, rec_seq) induce the same
+    total order."""
+    from warc2zim_spark.operators.items import items_table
+    from warc2zim_spark.operators.records import content_records
+    from warc2zim_spark.sources.warcbytes import load_warc_records
+
+    records = load_warc_records(spark, f"{_web(sf_dir)}/warc_files")
+    return items_table(content_records(records)).select(
+        "zim_path", "url", "mime", "status", "payload_len"
+    )
+
+
+def q_w_rewrite_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 — JS rewrite consumption: classifier-selected javascript rows,
+    module flag from the HTML pass's discovery (two-round feedback,
+    converter.py:227), import re-pointing vs the item set, wombat wrap for
+    classic scripts. Golden is sequential-same-kernel (self-golden policy —
+    zimscraperlib's JsRewriter is absent; the oracle pins classifier
+    selection + module-flag join + seen membership + determinism)."""
+    from warc2zim_spark.functions import udfs
+    from warc2zim_spark.functions.expressions import rewrite_mode_expr
+    from warc2zim_spark.operators.items import item_candidates
+    from warc2zim_spark.operators.records import content_records
+    from warc2zim_spark.operators.rewrite import js_module_paths, rewritten_js
+
+    records = _records(spark, sf_dir)
+    content = content_records(records, with_payload=True)
+    mode = rewrite_mode_expr(
+        F.split(F.coalesce(F.col("mime"), F.lit("")), ";").getItem(0),
+        F.col("resourcetype"),
+        F.col("zim_path"),
+        F.col("p_method"),
+    )
+    js_rows = (
+        content.filter(F.col("rec_type") == "response")
+        .withColumn("rewrite_mode", mode)
+        .filter(F.col("rewrite_mode") == "javascript")
+        .select(
+            "zim_path", F.col("effective_url").alias("url"),
+            F.decode(F.col("payload"), "utf-8").alias("js_text"),
+        )
+    )
+    seen = item_candidates(content_records(records)).select("zim_path").distinct()
+    modules = js_module_paths(_pages(spark, sf_dir)).select("module_path")
+    return rewritten_js(js_rows, seen, modules).select(
+        "zim_path",
+        F.sha2(F.col("js_rw"), 256).alias("js_rw_sha"),
+        "is_module",
+    )
+
+
 def q_w_jsonp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6/C7 — jsonp/json rewrite over the datagen case matrix; oracle
     re-derives with DuckDB regexes (incl. the reference's anchored-match
@@ -332,6 +390,22 @@ def q_w_rewrite_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     seen = spark.read.parquet(f"{_web(sf_dir)}/pages_golden.parquet").select("zim_path")
     return rewritten_pages_distributed(pages, seen, mode="exact").select(
         "url", F.sha2(F.col("html_rw"), 256).alias("html_rw_sha")
+    )
+
+
+def q_w_rewrite_html_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 full fidelity — link re-pointing + wombat head-inserts (faithful
+    re-render of templates/head_insert.html) + custom.css post-insert +
+    title-from-rewriter (items.py:46-56); sequential same-kernel golden
+    (self-golden policy, zimscraperlib absent)."""
+    from warc2zim_spark.operators.rewrite import rewritten_pages_full
+
+    pages = _pages(spark, sf_dir)
+    seen = spark.read.parquet(f"{_web(sf_dir)}/pages_golden.parquet").select("zim_path")
+    return rewritten_pages_full(pages, seen, custom_css=True).select(
+        "url",
+        F.col("title").alias("title_rw"),
+        F.sha2(F.col("html_full"), 256).alias("html_full_sha"),
     )
 
 
@@ -600,6 +674,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_main_page_redirect": q_w_main_page_redirect,
         "w_metadata": q_w_metadata,
         "w_static_assets": q_w_static_assets,
+        "w_items_from_bytes": q_w_items_from_bytes,
+        "w_rewrite_js": q_w_rewrite_js,
         "w_jsonp": q_w_jsonp,
         "w_warcinfo": q_w_warcinfo,
         "w_expected_full": q_w_expected_full,
@@ -614,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_icons": q_w_icons,
         "w_links_out": q_w_links_out,
         "w_rewrite_html": q_w_rewrite_html,
+        "w_rewrite_html_full": q_w_rewrite_html_full,
         "w_js_modules": q_w_js_modules,
         "w_aliases": q_w_aliases,
         "w_status_gate": q_w_status_gate,
@@ -776,6 +853,23 @@ def _web_sql(sf: str = "sf0.01") -> dict[str, str]:
             ('_zim_static/custom.css', 'text/css', CAST(6 AS BIGINT))
           ) AS t(zim_path, mime, payload_len)
         """,
+        "w_items_from_bytes": f"""
+          WITH content AS ({content}),
+          cand AS (
+            SELECT zim_path_g AS zim_path, eff_url AS url, mime, status,
+                   octet_length(payload) AS payload_len,
+                   row_number() OVER (PARTITION BY zim_path_g ORDER BY file_seq, rec_seq) AS rn
+            FROM content
+            WHERE rec_type = 'response' AND status IN (200,201,202,203)
+              AND octet_length(payload) > 0
+          )
+          SELECT zim_path, url, mime, status, payload_len
+          FROM cand WHERE rn = 1
+        """,
+        "w_rewrite_js": (
+            f"SELECT zim_path, js_rw_sha, is_module FROM "
+            f"read_parquet('{WEBROOT}/{sf}/js_golden.parquet')"
+        ),
         "w_jsonp": f"""
           WITH x AS (
             SELECT case_id, url, content,
@@ -910,6 +1004,10 @@ def _web_sql(sf: str = "sf0.01") -> dict[str, str]:
         "w_links_out": f"SELECT url, n_links FROM {pg}",
         "w_rewrite_html": (
             f"SELECT url, html_rw_sha FROM "
+            f"read_parquet('{WEBROOT}/{sf}/rewrite_golden.parquet')"
+        ),
+        "w_rewrite_html_full": (
+            f"SELECT url, title_rw, html_full_sha FROM "
             f"read_parquet('{WEBROOT}/{sf}/rewrite_golden.parquet')"
         ),
         "w_js_modules": (

