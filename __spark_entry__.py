@@ -199,6 +199,24 @@ def q_w_rewrite_js(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_w_illustration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 full + C11 — favicon payload capture (broadcast semi-join of the
+    main page's icon candidates against the record stream), stdlib dimension
+    sniffing, A9 ranking, best-icon selection. Oracle re-derives the ranking
+    in SQL over the icons_fixture table (captured candidates + dims)."""
+    from warc2zim_spark.operators.favicon import best_illustration
+    from warc2zim_spark.operators.gather import main_page_candidate
+    from warc2zim_spark.operators.records import content_records
+
+    content = content_records(_records(spark, sf_dir), with_payload=True)
+    main = main_page_candidate(content).select(
+        "zim_path", F.col("url")
+    )
+    return best_illustration(content, main).select(
+        "icon_url", "fmt", "width", "height"
+    )
+
+
 def q_w_jsonp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6/C7 — jsonp/json rewrite over the datagen case matrix; oracle
     re-derives with DuckDB regexes (incl. the reference's anchored-match
@@ -676,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_static_assets": q_w_static_assets,
         "w_items_from_bytes": q_w_items_from_bytes,
         "w_rewrite_js": q_w_rewrite_js,
+        "w_illustration": q_w_illustration,
         "w_jsonp": q_w_jsonp,
         "w_warcinfo": q_w_warcinfo,
         "w_expected_full": q_w_expected_full,
@@ -870,6 +889,19 @@ def _web_sql(sf: str = "sf0.01") -> dict[str, str]:
             f"SELECT zim_path, js_rw_sha, is_module FROM "
             f"read_parquet('{WEBROOT}/{sf}/js_golden.parquet')"
         ),
+        "w_illustration": f"""
+          WITH ranked AS (
+            SELECT icon_url, fmt, width, height,
+              row_number() OVER (ORDER BY
+                (CASE WHEN least(width, height) = 48 THEN 2
+                      WHEN least(width, height) > 48 THEN 1 ELSE 0 END) DESC,
+                (CASE WHEN least(width, height) = 48 THEN 0
+                      ELSE least(width, height) END) DESC,
+                icon_url ASC) AS rn
+            FROM read_parquet('{WEBROOT}/{sf}/icons_fixture.parquet')
+          )
+          SELECT icon_url, fmt, width, height FROM ranked WHERE rn = 1
+        """,
         "w_jsonp": f"""
           WITH x AS (
             SELECT case_id, url, content,

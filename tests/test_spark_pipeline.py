@@ -268,3 +268,56 @@ class TestMainPageRedirect:
             self._main(spark, "m.example/plain", "https://m.example/plain"),
         ).collect()
         assert out[0].zim_path == "m.example/plain"
+
+
+class TestIllustration:
+    """J3 payload capture + C11 selection (converter.py:548-556, 780-924)."""
+
+    def test_best_illustration_picks_48(self, spark, webdata):
+        from warc2zim_spark.operators.favicon import best_illustration
+        from warc2zim_spark.operators.gather import main_page_candidate
+        from warc2zim_spark.operators.records import content_records, load_records
+        from warc2zim_spark.kernels.imagemeta import image_dims
+
+        content = content_records(load_records(spark, webdata), with_payload=True)
+        main = main_page_candidate(content).select("zim_path", "url")
+        rows = best_illustration(content, main).collect()
+        assert len(rows) == 1
+        best = rows[0]
+        # datagen fixture: favicon0.ico=96px, alt.ico=48px → exact-48 tier wins
+        assert (best.width, best.height) == (48, 48)
+        assert best.fmt == "PNG"
+        # already PNG 48x48 → byte-identical passthrough of the record payload
+        assert image_dims(bytes(best.illustration)) == ("PNG", 48, 48)
+
+    def test_unparseable_payload_skipped(self, spark):
+        from warc2zim_spark.operators.favicon import ranked_icons
+        from warc2zim_spark.kernels.imagemeta import make_png
+
+        captured = spark.createDataFrame(
+            [
+                ("https://x.example/a.png", "x.example/a.png", bytearray(make_png(96))),
+                ("https://x.example/bad.png", "x.example/bad.png", bytearray(b"junk")),
+            ],
+            "icon_url string, icon_path string, payload binary",
+        )
+        rows = ranked_icons(captured).collect()
+        assert [r.icon_url for r in rows] == ["https://x.example/a.png"]
+
+    def test_svg_ranks_as_48(self, spark):
+        from warc2zim_spark.operators.favicon import ranked_icons
+        from warc2zim_spark.kernels.imagemeta import make_png
+
+        captured = spark.createDataFrame(
+            [
+                ("https://x.example/big.png", "x.example/big.png", bytearray(make_png(96))),
+                ("https://x.example/v.svg", "x.example/v.svg",
+                 bytearray(b'<svg xmlns="http://www.w3.org/2000/svg" width="64" height="64"/>')),
+            ],
+            "icon_url string, icon_path string, payload binary",
+        )
+        rows = {r.icon_url: r for r in ranked_icons(captured).collect()}
+        # SVG is size-perfect by definition (icon_finder semantics)
+        assert rows["https://x.example/v.svg"].pref_rank == 1
+        assert (rows["https://x.example/v.svg"].width,
+                rows["https://x.example/v.svg"].height) == (48, 48)

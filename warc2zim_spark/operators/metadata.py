@@ -21,8 +21,6 @@ zlib/struct — paths, mimes, union plumbing, and metadata layout are live.
 from __future__ import annotations
 
 import base64
-import struct
-import zlib
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -43,23 +41,12 @@ MAX_LONG_DESCRIPTION_LENGTH = 4000
 def transparent_png(size: int = 48) -> bytes:
     """A valid fully-transparent ``size``×``size`` RGBA PNG, stdlib-only —
     the reference's guaranteed illustration fallback (converter.py:294-296
-    'always provide a valid image, at least a fallback transparent PNG')."""
-    def chunk(tag: bytes, data: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(data))
-            + tag
-            + data
-            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
-        )
+    'always provide a valid image, at least a fallback transparent PNG').
+    Lives in kernels/imagemeta (pyspark-free) so datagen can build fixture
+    bytes without importing operator modules."""
+    from warc2zim_spark.kernels.imagemeta import make_png
 
-    ihdr = struct.pack(">IIBBBBB", size, size, 8, 6, 0, 0, 0)
-    raw = b"".join(b"\x00" + b"\x00" * (size * 4) for _ in range(size))
-    return (
-        b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw, 9))
-        + chunk(b"IEND", b"")
-    )
+    return make_png(size)
 
 
 # deterministic stand-ins for zimscraperlib.rewriting.statics' .js files

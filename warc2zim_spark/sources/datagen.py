@@ -391,6 +391,38 @@ def generate_warc_records(pages: pa.Table, seed: int = SEED) -> pa.Table:
     emit("response", "https://redir.example/also-item", status=301,
          mime="text/html", http_location=first_page)
 
+    # J3/C11 icon fixture: payload rows for the MAIN page's declared icons
+    # (reference captures these in-stream, converter.py:548-556). Sizes
+    # cycle 96/48/16 so the ranking tiers all appear; a trailing corrupt row
+    # exercises the failed-parse skip when the page declares ≥2 icons.
+    from warc2zim_spark.kernels.htmlmeta import extract_meta as _extract_meta
+    from warc2zim_spark.kernels.imagemeta import make_png as _make_png
+
+    mp_idx = None
+    for j in range(len(cols["rec_seq"])):
+        if (
+            cols["rec_type"][j] == "response"
+            and cols["status"][j] == 200
+            and (cols["mime"][j] or "").split(";")[0] == "text/html"
+            and len(cols["payload"][j] or b"") > 0
+            and cols["url"][j]
+            and cols["url"][j].startswith(("http://", "https://"))
+        ):
+            mp_idx = j
+            break
+    if mp_idx is not None:
+        mp_url = cols["url"][mp_idx]
+        mp_html = (cols["payload"][mp_idx] or b"").decode("utf-8", errors="replace")
+        hrefs = _extract_meta(mp_html)["icons"] or ["/favicon.ico"]
+        icon_urls = [
+            urljoin(mp_url, h) for h in hrefs
+        ]
+        icon_urls = [u for u in icon_urls if u.startswith(("http://", "https://"))]
+        sizes = [96, 48, 16]
+        for k, icon_url in enumerate(icon_urls):
+            emit("response", icon_url, status=200, mime="image/png",
+                 payload=_make_png(sizes[k % 3]))
+
     # J5 main-page redirect chain: a --url stand-in at main-start follows
     # 302 → 301 → 307 to a real page. Forward-in-stream and acyclic with one
     # record per path, so the reference's positional forward-scan
@@ -912,6 +944,74 @@ def generate_js_goldens(records: pa.Table, pages: pa.Table) -> pa.Table:
     )
 
 
+def generate_icon_fixture(records: pa.Table) -> pa.Table:
+    """(icon_url, icon_path, fmt, width, height) for the main page's icon
+    candidates that have captured payloads — the SQL oracle re-derives the
+    A9 ranking over these and must agree with the distributed
+    best_illustration pick. Dim values come from the same stdlib sniffer the
+    engine uses (pinned separately by tests/test_kernels_imagemeta-style
+    unit cases); the RANKING re-derivation is the independent part."""
+    from warc2zim_spark.kernels.htmlmeta import extract_meta
+    from warc2zim_spark.kernels.imagemeta import image_dims
+    from warc2zim_spark.kernels.surt import canonicalize
+
+    cols = {c: records.column(c).to_pylist() for c in
+            ("rec_type", "status", "mime", "payload", "url", "zim_path_g",
+             "file_seq", "rec_seq")}
+    n = len(cols["rec_type"])
+    mp_idx = None
+    for j in range(n):
+        if (
+            cols["rec_type"][j] == "response" and cols["status"][j] == 200
+            and (cols["mime"][j] or "").split(";")[0] == "text/html"
+            and len(cols["payload"][j] or b"") > 0
+            and (cols["url"][j] or "").startswith(("http://", "https://"))
+        ):
+            mp_idx = j
+            break
+    out = {"icon_url": [], "icon_path": [], "fmt": [], "width": [], "height": []}
+    if mp_idx is not None:
+        mp_url = cols["url"][mp_idx]
+        html = (cols["payload"][mp_idx] or b"").decode("utf-8", errors="replace")
+        hrefs = extract_meta(html)["icons"] or ["/favicon.ico"]
+        cand = {}
+        for h in hrefs:
+            u = urljoin(mp_url, h)
+            if u.startswith(("http://", "https://")):
+                p = canonicalize(u)
+                if p:
+                    cand[p] = u
+        # last status-200 response per candidate path wins (dict overwrite,
+        # converter.py:555)
+        captured: dict[str, bytes] = {}
+        for j in range(n):
+            if (
+                cols["rec_type"][j] == "response" and cols["status"][j] == 200
+                and cols["zim_path_g"][j] in cand
+            ):
+                captured[cols["zim_path_g"][j]] = cols["payload"][j] or b""
+        for p, payload in captured.items():
+            fmt, w, h = image_dims(payload)
+            if fmt == "SVG":
+                w = h = 48
+            if fmt is None or w is None:
+                continue
+            out["icon_url"].append(cand[p])
+            out["icon_path"].append(p)
+            out["fmt"].append(fmt)
+            out["width"].append(w)
+            out["height"].append(h)
+    return pa.table(
+        {
+            "icon_url": pa.array(out["icon_url"], pa.string()),
+            "icon_path": pa.array(out["icon_path"], pa.string()),
+            "fmt": pa.array(out["fmt"], pa.string()),
+            "width": pa.array(out["width"], pa.int32()),
+            "height": pa.array(out["height"], pa.int32()),
+        }
+    )
+
+
 def write_warc_files(records: pa.Table, out_dir) -> None:
     """Serialize the synthetic record table to real WARC/1.1 bytes, one file
     per file_seq (the last one gzip member-per-record to cover the .warc.gz
@@ -960,6 +1060,7 @@ def ensure_webdata(sf_name: str, root: str = "/root/repo/webdata") -> Path:
     _write(records, out / "warc_records.parquet")
     _write(generate_encoded_payloads(), out / "encoded_payloads.parquet")
     _write(generate_jsonp_cases(), out / "jsonp_cases.parquet")
+    _write(generate_icon_fixture(records), out / "icons_fixture.parquet")
     _write(generate_seeds(golden), out / "seeds.parquet")
     _write(generate_robots(golden), out / "robots.parquet")
     testdata = Path("/root/testdata") / sf_name / "documents.parquet"
