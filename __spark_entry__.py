@@ -217,6 +217,37 @@ def q_w_illustration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_w_items_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest (readStream → foreachBatch, Trigger.AvailableNow,
+    cross-batch first-wins via sink anti-join): drains the record table
+    through micro-batches and must reproduce the batch items table exactly —
+    same oracle SQL as w_items."""
+    import shutil
+    import tempfile
+
+    from warc2zim_spark.streaming import stream_items
+
+    work = tempfile.mkdtemp(prefix="stream_items_")
+    try:
+        src = spark.read.parquet(f"{_web(sf_dir)}/warc_records.parquet")
+        # one landing file per file_seq (hash partition: a WARC file's rows —
+        # and therefore every request/response pair — stay together)
+        src.repartition(4, "file_seq").write.mode("overwrite").parquet(
+            f"{work}/landing"
+        )
+        stream_items(
+            spark, f"{work}/landing", f"{work}/items", f"{work}/ckpt"
+        )
+        out = spark.read.parquet(f"{work}/items").orderBy("zim_path")
+        out = spark.createDataFrame(out.collect(), out.schema)
+        return out.select(
+            "zim_path", "url", "mime", "status", "payload_len",
+            "file_seq", "rec_seq",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_w_jsonp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6/C7 — jsonp/json rewrite over the datagen case matrix; oracle
     re-derives with DuckDB regexes (incl. the reference's anchored-match
@@ -693,6 +724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_metadata": q_w_metadata,
         "w_static_assets": q_w_static_assets,
         "w_items_from_bytes": q_w_items_from_bytes,
+        "w_items_streaming": q_w_items_streaming,
         "w_rewrite_js": q_w_rewrite_js,
         "w_illustration": q_w_illustration,
         "w_jsonp": q_w_jsonp,
@@ -788,6 +820,19 @@ def _web_sql(sf: str = "sf0.01") -> dict[str, str]:
           )
           SELECT zim_path, url, mime, status, payload_len, file_seq, rec_seq
           FROM cand WHERE rn = 1 ORDER BY zim_path
+        """,
+        "w_items_streaming": f"""
+          WITH content AS ({content}),
+          cand AS (
+            SELECT zim_path_g AS zim_path, eff_url AS url, mime, status,
+                   octet_length(payload) AS payload_len, file_seq, rec_seq,
+                   row_number() OVER (PARTITION BY zim_path_g ORDER BY file_seq, rec_seq) AS rn
+            FROM content
+            WHERE rec_type = 'response' AND status IN (200,201,202,203)
+              AND octet_length(payload) > 0
+          )
+          SELECT zim_path, url, mime, status, payload_len, file_seq, rec_seq
+          FROM cand WHERE rn = 1
         """,
         "w_redirect_edges": f"SELECT * FROM ({edges})",
         "w_redirects_kept": f"""

@@ -1,0 +1,88 @@
+"""Streaming ingest: micro-batched items == batch items; resume picks up
+only new files."""
+
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture()
+def split_records(webdata, tmp_path):
+    """The record table split into per-file_seq parquet files with
+    increasing mtimes (the crawler-append order)."""
+    import os
+    import time
+
+    table = pq.read_table(f"{webdata}/warc_records.parquet")
+    d = tmp_path / "landing"
+    d.mkdir()
+    # split into ~4 row chunks in stream order (sf0.001 is a single
+    # file_seq, so chunk by rec_seq range) — never between an adjacent
+    # request/response pair (a WARC writer closes files at pair boundaries;
+    # the per-file pairing window relies on it)
+    n = table.num_rows
+    rec_types = table.column("rec_type").to_pylist()
+    step = (n + 3) // 4
+    cuts = [0]
+    for i in range(1, 4):
+        c = min(i * step, n)
+        while 0 < c < n and rec_types[c - 1] == "request":
+            c += 1
+        if c > cuts[-1]:
+            cuts.append(c)
+    cuts.append(n)
+    paths = []
+    for i in range(len(cuts) - 1):
+        part = table.slice(cuts[i], cuts[i + 1] - cuts[i])
+        if part.num_rows == 0:
+            continue
+        p = d / f"part-{i:04d}.parquet"
+        pq.write_table(part, p)
+        mtime = time.time() - 4 + i
+        os.utime(p, (mtime, mtime))
+        paths.append(p)
+    return d, paths
+
+
+class TestStreamItems:
+    def test_equals_batch_items(self, spark, webdata, split_records, tmp_path):
+        from warc2zim_spark.operators.items import items_table
+        from warc2zim_spark.operators.records import content_records, load_records
+        from warc2zim_spark.streaming import stream_items
+
+        landing, _ = split_records
+        out = tmp_path / "items_sink"
+        ckpt = tmp_path / "ckpt"
+        n = stream_items(
+            spark, str(landing), str(out), str(ckpt), max_files_per_trigger=1
+        )
+        assert n >= 2  # genuinely micro-batched
+
+        batch = items_table(content_records(load_records(spark, webdata)))
+        key = lambda r: (r.zim_path, r.url, r.mime, r.status, r.payload_len)
+        got = sorted(map(key, spark.read.parquet(str(out)).collect()))
+        want = sorted(map(key, batch.collect()))
+        assert got == want
+
+    def test_resume_is_incremental(self, spark, split_records, tmp_path):
+        import shutil
+
+        from warc2zim_spark.streaming import stream_items
+
+        landing, paths = split_records
+        held_back = paths[-1]
+        staged = tmp_path / "staged.parquet"
+        shutil.move(str(held_back), str(staged))
+
+        out = tmp_path / "items_sink2"
+        ckpt = tmp_path / "ckpt2"
+        n1 = stream_items(spark, str(landing), str(out), str(ckpt))
+        count1 = spark.read.parquet(str(out)).count()
+
+        shutil.move(str(staged), str(held_back))
+        n2 = stream_items(spark, str(landing), str(out), str(ckpt))
+        count2 = spark.read.parquet(str(out)).count()
+        assert n1 >= 1 and n2 >= 1
+        assert count2 > count1  # the late file's new paths landed
+        # and nothing got double-written
+        paths_df = spark.read.parquet(str(out)).select("zim_path")
+        assert paths_df.count() == paths_df.distinct().count()
