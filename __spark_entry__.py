@@ -620,6 +620,19 @@ def q_e_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_e_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN (KMeans coarse quantizer, n_probe inverted lists probed,
+    exact re-rank). Approximate — rows-only check; recall ≥ 0.5 at
+    n_probe=n_lists/2 pinned in tests/test_training_ops.py."""
+    from warc2zim_spark.operators.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ivf_topk(emb, queries, k=10, n_lists=16, n_probe=8).select(
+        "query_id", "neighbor_id", "cosine", "rank"
+    )
+
+
 def q_e_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs, exact all-pairs baseline at cosine ≥ 0.5."""
     from warc2zim_spark.operators.similarity import brute_force_near_duplicates
@@ -758,6 +771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_fingerprint": q_d_fingerprint,
         "e_ann_brute": q_e_ann_brute,
         "e_ann_lsh": q_e_ann_lsh,
+        "e_ann_ivf": q_e_ann_ivf,
         "e_dedup_cosine": q_e_dedup_cosine,
         "m_media_features": q_m_media_features,
         "t_pricing_summary": q_t_pricing_summary,
@@ -1262,8 +1276,8 @@ def _tpch_sql() -> dict[str, str]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracles. Omitted (rows-only driver check): e_ann_lsh
-    (approximate by design — recall pinned in tests), m_media_features
+    """DuckDB oracles. Omitted (rows-only driver check): e_ann_lsh and
+    e_ann_ivf (approximate by design — recall pinned in tests), m_media_features
     (stub decode inside mapInPandas). d_simhash_pairs now has a brute-force
     all-pairs oracle over the sequential simhash goldens — it verifies the
     blocking scheme's exact completeness, while the hash values themselves

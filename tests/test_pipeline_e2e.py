@@ -1,0 +1,61 @@
+"""run_pipeline end-to-end: all sinks materialize, metadata is complete,
+static assets union in, validation fails fast."""
+
+import json
+
+import pytest
+
+
+class TestRunPipeline:
+    @pytest.fixture(scope="class")
+    def result(self, spark, webdata, tmp_path_factory):
+        from warc2zim_spark.plans.pipeline import run_pipeline
+
+        out = tmp_path_factory.mktemp("pipeline_out")
+        metrics = run_pipeline(
+            spark, webdata, str(out), name="e2e-test",
+            custom_css=b"body { margin: 0 }",
+            metadata_args={"title": "E2E", "language": "fr", "tags": "a;b"},
+        )
+        return out, metrics
+
+    def test_metrics_and_sinks(self, spark, result):
+        out, metrics = result
+        assert metrics["items"] > 0
+        assert metrics["redirects"] > 0
+        assert metrics["aliases"] > 0
+        for sink in ("items", "redirects", "aliases", "expected", "metadata"):
+            assert (out / sink).exists(), sink
+        assert json.loads((out / "metrics.json").read_text())["items"] == metrics["items"]
+
+    def test_items_include_static_assets(self, spark, result):
+        out, _ = result
+        items = spark.read.parquet(str(out / "items"))
+        static = {r.zim_path for r in items.filter(
+            items.zim_path.startswith("_zim_static/")).collect()}
+        assert static == {
+            "_zim_static/wombat.js",
+            "_zim_static/wombatSetup.js",
+            "_zim_static/custom.css",
+        }
+
+    def test_metadata_complete(self, spark, result):
+        out, _ = result
+        meta = {r.name: r.value for r in spark.read.parquet(str(out / "metadata")).collect()}
+        for key in ("Name", "Language", "Title", "Description", "Creator",
+                    "Publisher", "Date", "Illustration_48x48@1", "Scraper",
+                    "X-ContentDate", "Tags", "Main-Path", "Counter-Items"):
+            assert key in meta, key
+        assert meta["Name"] == "e2e-test"
+        assert meta["Language"] == "fra"
+        assert meta["Title"] == "E2E"
+        assert int(meta["Counter-Items"]) == spark.read.parquet(str(out / "items")).count()
+
+    def test_validation_fails_fast(self, spark, webdata, tmp_path):
+        from warc2zim_spark.plans.pipeline import run_pipeline
+
+        with pytest.raises(ValueError, match="Title"):
+            run_pipeline(
+                spark, webdata, str(tmp_path / "x"), name="n",
+                metadata_args={"title": "x" * 31},
+            )

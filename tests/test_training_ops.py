@@ -145,3 +145,25 @@ class TestExactDedup:
         for g in groups:
             if g.keep_id < 5:
                 assert g.keep_id + 7000 in g.all_ids
+
+
+class TestIvfRecall:
+    def test_ivf_topk_recall_vs_brute(self, spark, emb):
+        """IVF coarse quantization with n_probe=8/16 lists must recover a
+        solid fraction of the exact top-10 (random vectors: worst case —
+        true neighbors scatter across lists)."""
+        from warc2zim_spark.operators.similarity import brute_force_topk, ivf_topk
+
+        queries = emb.filter(F.col("vec_id") < 8)
+        brute = {
+            (r.query_id, r.neighbor_id)
+            for r in brute_force_topk(emb, queries, k=10).collect()
+        }
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_topk(emb, queries, k=10, n_lists=16, n_probe=8).collect()
+        }
+        recall = len(brute & approx) / len(brute)
+        # probing half the lists must recover well over half the neighbors
+        assert recall >= 0.5, f"recall {recall}"
+        assert all(len({n for q, n in approx if q == qid}) <= 10 for qid in range(8))

@@ -229,3 +229,85 @@ def embedding_near_duplicates(
         .distinct()
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k via IVF (inverted-file) coarse quantization — the other
+    standard scale path next to LSH: KMeans partitions the corpus into
+    ``n_lists`` inverted lists; each query probes its ``n_probe`` nearest
+    centroids' lists; candidates re-rank exactly.
+
+    Scale shape: the trained centroid table is tiny (n_lists × dim — a few
+    MB even at n_lists=65536) and broadcasts; list assignment is a model
+    transform (JVM); the candidate join is a plain (list_id) hash equi-join
+    touching ~n_probe/n_lists of the corpus per query. Recall/latency trades
+    via n_probe exactly as in FAISS-style IVF-Flat. Deterministic given the
+    seed (pyspark.ml KMeans k-means|| init is seeded).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c_base = with_norm(corpus, vec_col).withColumn(
+        "_mlvec", array_to_vector(F.col("_dvec"))
+    )
+    model = KMeans(
+        k=n_lists, seed=seed, featuresCol="_mlvec", predictionCol="_list_id"
+    ).fit(c_base.select("_mlvec"))
+    lists = model.transform(c_base).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("_dvec").alias("c_vec"),
+        F.col("_norm").alias("c_norm"),
+        F.col("_list_id").alias("list_id"),
+    )
+    # centroids: tiny driver-side array → literal probe table per query
+    centroids = [
+        F.struct(
+            F.lit(i).alias("list_id"),
+            F.array(*[F.lit(float(x)) for x in center]).alias("centroid"),
+        )
+        for i, center in enumerate(model.clusterCenters())
+    ]
+    q_base = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_dvec").alias("q_vec"),
+        F.col("_norm").alias("q_norm"),
+    )
+    probes = (
+        q_base.select(
+            "query_id", "q_vec", "q_norm",
+            F.explode(F.array(*centroids)).alias("c"),
+        )
+        .withColumn(
+            "_cdist",
+            -_dot(F.col("q_vec"), F.col("c.centroid"))
+            / (F.col("q_norm") * F.greatest(_norm(F.col("c.centroid")), F.lit(1e-12))),
+        )
+        .withColumn(
+            "_crank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.asc("_cdist"), F.asc("c.list_id")
+                )
+            ),
+        )
+        .filter(F.col("_crank") <= n_probe)
+        .select("query_id", "q_vec", "q_norm", F.col("c.list_id").alias("list_id"))
+    )
+    cosine = _dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))
+    scored = (
+        lists.join(F.broadcast(probes), "list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(cosine, 6).alias("cosine"))
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -33,6 +33,7 @@ from warc2zim_spark.operators.records import content_records, load_records
 from warc2zim_spark.operators.metadata import (
     items_with_static,
     static_asset_items,
+    validate_metadata,
     zim_metadata,
 )
 from warc2zim_spark.operators.redirects import (
@@ -55,6 +56,16 @@ def run_pipeline(
 
     ``metadata_args``: keyword passthrough to ``zim_metadata`` (title,
     language, description, tags, ... — the reference's CLI flags)."""
+    # validate user metadata BEFORE any distributed work (converter.py:279-294
+    # "so that we do not waste time doing operations for a scraper which will
+    # fail anyway in the end")
+    validate_metadata(
+        **{
+            k: v
+            for k, v in (metadata_args or {}).items()
+            if k in ("title", "description", "long_description", "language", "tags")
+        }
+    )
     t0 = time.time()
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
