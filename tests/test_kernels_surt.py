@@ -104,3 +104,21 @@ class TestUrlHost:
         assert url_host("https://Sub.Example.COM:443/x?q") == "sub.example.com"
         assert url_host("not a url") is None
         assert url_host(None) is None
+
+
+class TestYoutubeiGeneralized:
+    """wabac's youtubei rule covers every endpoint, not only v1/player."""
+
+    def test_v1_player_unchanged(self):
+        from warc2zim_spark.kernels.surt import canonicalize
+
+        assert canonicalize(
+            "https://www.youtube.com/youtubei/v1/player?key=x&videoId=aT-Up5Y4uRI&b=1"
+        ) == "youtube.fuzzy.replayweb.page/youtubei/v1/player?videoId=aT-Up5Y4uRI"
+
+    def test_other_endpoint(self):
+        from warc2zim_spark.kernels.surt import canonicalize
+
+        assert canonicalize(
+            "https://www.youtube.com/youtubei/v1/next?videoId=abc123&pp=x"
+        ) == "youtube.fuzzy.replayweb.page/youtubei/v1/next?videoId=abc123"

@@ -41,11 +41,14 @@ FUZZY_RULES: list[tuple[re.Pattern[str], str]] = [
         r"youtube.fuzzy.replayweb.page/get_video_info?video_id=\1",
     ),
     (
+        # generalized to any youtubei endpoint (wabac's rule shape:
+        # `youtubei/[^?]+` with the videoId kept); the reference-pinned
+        # /youtubei/v1/player case maps identically
         re.compile(
-            r"^(?:www\.)?youtube(?:-nocookie)?\.com/youtubei/v1/player\?.*"
+            r"^(?:www\.)?youtube(?:-nocookie)?\.com/(youtubei/[^?]+)\?.*"
             r"videoId=([^&]+).*$"
         ),
-        r"youtube.fuzzy.replayweb.page/youtubei/v1/player?videoId=\1",
+        r"youtube.fuzzy.replayweb.page/\1?videoId=\2",
     ),
     (
         re.compile(r"^[^/?]*googlevideo\.com/videoplayback\?.*id=([^&]+).*$"),
