@@ -167,3 +167,24 @@ class TestIvfRecall:
         # probing half the lists must recover well over half the neighbors
         assert recall >= 0.5, f"recall {recall}"
         assert all(len({n for q, n in approx if q == qid}) <= 10 for qid in range(8))
+
+
+class TestMediaRealDims:
+    def test_real_image_dims_sniffed(self, spark):
+        """Actual image containers in the media column get REAL dimensions
+        (stdlib header parse); only the pixel feature stays a stub."""
+        from warc2zim_spark.kernels.imagemeta import make_png
+        from warc2zim_spark.operators.multimodal import media_features
+
+        media = spark.createDataFrame(
+            [
+                (0, "image", bytearray(make_png(48))),
+                (1, "image", bytearray(make_png(96))),
+                (2, "audio", bytearray(b"\x00\x01\x02 not an image")),
+            ],
+            "media_id long, kind string, payload binary",
+        )
+        rows = {r.media_id: r for r in media_features(media).collect()}
+        assert (rows[0].width, rows[0].height) == (48, 48)
+        assert (rows[1].width, rows[1].height) == (96, 96)
+        assert rows[2].width > 0  # stub fallback stays total

@@ -38,18 +38,25 @@ MEDIA_FEATURE_SCHEMA = StructType(
 
 
 def _decode_image_stub(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """STUB decode — deterministic fake standing in for a real image decoder
-    (Pillow not available in this container). Derives (width, height) and an
-    8-dim 'feature' from the payload bytes alone, so results are stable and
-    testable. Replace with a real decoder for production use."""
+    """Half-real decode: (width, height) come from the REAL stdlib header
+    sniffer (kernels/imagemeta — PNG/GIF/JPEG/ICO/SVG) whenever the payload
+    is an actual image container; only the pixel-level FEATURE vector is the
+    deterministic byte-histogram fake (Pillow is not in this container —
+    that remaining seam is the pixel decode only). Non-image payloads fall
+    back to byte-derived pseudo-dims so the plumbing stays total."""
+    from warc2zim_spark.kernels.imagemeta import image_dims
+
     if not payload:
         return 0, 0, np.zeros(8, dtype=np.float32)
     arr = np.frombuffer(payload, dtype=np.uint8)
-    width = int(arr[: min(64, len(arr))].sum() % 512) + 16
-    height = int(arr[-min(64, len(arr)):].sum() % 512) + 16
+    fmt, w, h = image_dims(payload)
+    if fmt is None or w is None:
+        # opaque/non-image bytes: deterministic pseudo-dims (stub seam)
+        w = int(arr[: min(64, len(arr))].sum() % 512) + 16
+        h = int(arr[-min(64, len(arr)):].sum() % 512) + 16
     hist, _ = np.histogram(arr, bins=8, range=(0, 256))
     feature = (hist / max(len(arr), 1)).astype(np.float32)
-    return width, height, feature
+    return int(w), int(h), feature
 
 
 def media_features(media: DataFrame) -> DataFrame:
