@@ -88,10 +88,34 @@ def run_pipeline(
     # S8: static assets union into the item sink (converter.py:396-409)
     all_items = items_with_static(items, static_asset_items(spark, custom_css))
 
-    all_items.write.mode("overwrite").parquet(str(out / "items"))
-    redirects.write.mode("overwrite").parquet(str(out / "redirects"))
-    aliases.write.mode("overwrite").parquet(str(out / "aliases"))
-    full_expected.write.mode("overwrite").parquet(str(out / "expected"))
+    # S9 progress stats via Spark-native Observation: each sink write carries
+    # its own observed aggregates (converter.py's per-run counters), so the
+    # metrics cost ZERO extra jobs — previously each count() re-ran a job.
+    from pyspark.sql import Observation
+
+    obs_items = Observation("items_sink")
+    obs_redirects = Observation("redirects_sink")
+    obs_aliases = Observation("aliases_sink")
+    obs_expected = Observation("expected_sink")
+
+    all_items.observe(
+        obs_items,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum("payload_len").alias("bytes"),
+        # DISTINCT aggregates are disallowed in observed metrics — HLL sketch
+        F.approx_count_distinct("mime").alias("mimes"),
+    ).write.mode("overwrite").parquet(str(out / "items"))
+    redirects.observe(
+        obs_redirects, F.count(F.lit(1)).alias("rows")
+    ).write.mode("overwrite").parquet(str(out / "redirects"))
+    aliases.observe(
+        obs_aliases, F.count(F.lit(1)).alias("rows")
+    ).write.mode("overwrite").parquet(str(out / "aliases"))
+    full_expected.observe(
+        obs_expected, F.count(F.lit(1)).alias("rows")
+    ).write.mode("overwrite").parquet(str(out / "expected"))
+
+    n_all_items = obs_items.get["rows"]
 
     # S7: the full metadata frame (validated fail-fast inside), plus the
     # engine's own operational entries
@@ -100,17 +124,21 @@ def run_pipeline(
     extra = spark.createDataFrame(
         [
             ("Main-Path", main_row[0].zim_path if main_row else ""),
-            ("Counter-Items", str(all_items.count())),
+            ("Counter-Items", str(n_all_items)),
         ],
         "name string, value string",
     )
     meta.unionByName(extra).write.mode("overwrite").parquet(str(out / "metadata"))
 
+    n_static = static_asset_items(spark, custom_css).count()
     metrics = {
-        "items": items.count(),
-        "redirects": redirects.count(),
-        "aliases": aliases.count(),
-        "expected": full_expected.count(),
+        "items": n_all_items - n_static,  # record-derived items
+        "items_with_static": n_all_items,
+        "payload_bytes": obs_items.get["bytes"],
+        "distinct_mimes": obs_items.get["mimes"],
+        "redirects": obs_redirects.get["rows"],
+        "aliases": obs_aliases.get["rows"],
+        "expected": obs_expected.get["rows"],
         "wall_s": round(time.time() - t0, 2),
     }
     (out / "metrics.json").write_text(json.dumps(metrics))
