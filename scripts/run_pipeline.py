@@ -12,6 +12,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
+
+# under spark-submit the package arrives via --py-files; for a direct
+# `python scripts/run_pipeline.py` run, the repo root works too
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
@@ -19,6 +25,16 @@ def main() -> None:
     parser.add_argument("--webdata", required=True)
     parser.add_argument("--out", required=True)
     parser.add_argument("--include-domains", nargs="*", default=None)
+    # reference CLI metadata flags (converter.py:121-127)
+    parser.add_argument("--name", default="warc2zim-spark-output")
+    parser.add_argument("--title", default=None)
+    parser.add_argument("--description", default="-")
+    parser.add_argument("--long-description", default=None)
+    parser.add_argument("--lang", default=None)
+    parser.add_argument("--tags", default=None)
+    parser.add_argument("--creator", default="-")
+    parser.add_argument("--publisher", default="openZIM")
+    parser.add_argument("--custom-css", default=None, help="path to a css file")
     parser.add_argument("--crawl", action="store_true")
     parser.add_argument("--max-waves", type=int, default=4)
     parser.add_argument("--host-budget", type=int, default=8)
@@ -30,7 +46,20 @@ def main() -> None:
     spark = SparkSession.builder.appName("warc2zim_spark").getOrCreate()
     from warc2zim_spark.plans.pipeline import run_pipeline
 
-    metrics = run_pipeline(spark, args.webdata, args.out, args.include_domains)
+    custom_css = None
+    if args.custom_css:
+        with open(args.custom_css, "rb") as fh:
+            custom_css = fh.read()
+    metrics = run_pipeline(
+        spark, args.webdata, args.out, args.include_domains,
+        name=args.name, custom_css=custom_css,
+        metadata_args={
+            "title": args.title, "description": args.description,
+            "long_description": args.long_description, "language": args.lang,
+            "tags": args.tags, "creator": args.creator,
+            "publisher": args.publisher,
+        },
+    )
     print(json.dumps({"pipeline": metrics}))
 
     if args.crawl:
