@@ -34,6 +34,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # date_format/X-ContentDate must agree with the (naive-timestamp)
+        # DuckDB oracles regardless of host TZ
+        .config("spark.sql.session.timeZone", "UTC")
         # local bench tier: tables are a few hundred MB in single files, so
         # the 128m default gives 1-2 scan partitions and serializes every
         # pre-shuffle UDF stage; 16m ≈ cores×(file/16m) tasks. At cluster
