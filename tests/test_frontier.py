@@ -167,3 +167,50 @@ class TestPoliteness:
         )
         scheduled_hosts = {r.host for r in schedule.select("host").distinct().collect()}
         assert not (deny_hosts & scheduled_hosts)
+
+
+class TestCuckooFilter:
+    """north_rule names bloom/cuckoo: the cuckoo variant adds DELETION
+    (recrawl/expiry) that blooms cannot express."""
+
+    def _seen(self, spark, webdata):
+        from warc2zim_spark.functions import udfs
+
+        pages = spark.read.parquet(f"{webdata}/pages.parquet")
+        return (
+            pages.select(udfs.surt_key(F.col("url")).alias("surt_key"))
+            .filter(F.col("surt_key").isNotNull())
+            .distinct()
+        )
+
+    def test_no_false_negatives_and_fp_budget(self, spark, webdata):
+        from warc2zim_spark.frontier.seenfilter import build_cuckoo, probe_cuckoo
+
+        seen = self._seen(spark, webdata)
+        filt = build_cuckoo(seen)
+        hits = probe_cuckoo(seen, filt, keep="hit")
+        assert hits.count() == seen.count()  # zero false negatives
+        absent = spark.range(2000).select(
+            F.concat(F.lit("never-seen.example/"), F.col("id")).alias("surt_key")
+        )
+        fp = probe_cuckoo(absent, filt, keep="hit").count()
+        assert fp <= 2000 * 0.05  # 1-byte fingerprints: ~3% budget
+
+    def test_delete_reopens_urls(self, spark, webdata):
+        from warc2zim_spark.frontier.seenfilter import (
+            build_cuckoo,
+            cuckoo_delete_keys,
+            probe_cuckoo,
+        )
+
+        seen = self._seen(spark, webdata)
+        filt = build_cuckoo(seen)
+        stale = seen.orderBy("surt_key").limit(50)
+        filt2 = cuckoo_delete_keys(filt, stale)
+        reopened = probe_cuckoo(stale, filt2, keep="miss").count()
+        # deleted keys become crawlable again (minus fingerprint collisions
+        # with still-present keys)
+        assert reopened >= 45
+        # everything else stays present: no false negatives introduced
+        rest = seen.join(stale, "surt_key", "left_anti")
+        assert probe_cuckoo(rest, filt2, keep="hit").count() == rest.count()

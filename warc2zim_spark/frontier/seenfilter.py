@@ -160,3 +160,193 @@ def unseen_exact(candidates: DataFrame, seen: DataFrame, key_col: str = "surt_ke
     return candidates.join(
         seen.select(F.col(key_col)).distinct(), key_col, "left_anti"
     )
+
+
+# ---------------------------------------------------------------------------
+# cuckoo filter variant (north_rule names "bloom/cuckoo"): same partitioned
+# layout as the bloom, plus DELETION — the recrawl/expiry case (a URL leaves
+# the seen set when its snapshot goes stale) that a bloom cannot express.
+# Standard 4-way-bucket, 1-byte-fingerprint cuckoo (Fan et al., CoNLL'14
+# "Cuckoo Filter: Practically Better Than Bloom"): ~0.03 fpp at 95% load.
+# ---------------------------------------------------------------------------
+
+_CUCKOO_SCHEMA = StructType(
+    [
+        StructField("part_id", IntegerType(), False),
+        StructField("n_keys", LongType(), False),
+        StructField("n_buckets", LongType(), False),
+        StructField("table", BinaryType(), False),
+    ]
+)
+
+_CUCKOO_SLOTS = 4
+_CUCKOO_MAX_KICKS = 500
+
+
+def _cuckoo_fp_and_buckets(key: str, n_buckets: int) -> tuple[int, int, int]:
+    digest = hashlib.blake2b(str(key).encode("utf-8"), digest_size=16).digest()
+    fp = (digest[0] % 255) + 1  # 1..255; 0 = empty slot
+    i1 = int.from_bytes(digest[1:9], "little") % n_buckets
+    # partial-key cuckoo: i2 = i1 XOR hash(fp) — relocatable without the key
+    fp_hash = int.from_bytes(
+        hashlib.blake2b(bytes([fp]), digest_size=8).digest(), "little"
+    )
+    i2 = (i1 ^ fp_hash) % n_buckets
+    return fp, i1, i2
+
+
+def _cuckoo_insert(table: np.ndarray, n_buckets: int, key: str) -> bool:
+    import random as _random
+
+    fp, i1, i2 = _cuckoo_fp_and_buckets(key, n_buckets)
+    for i in (i1, i2):
+        row = table[i]
+        for s in range(_CUCKOO_SLOTS):
+            if row[s] == 0:
+                row[s] = fp
+                return True
+    # kick: deterministic RNG seeded by the key so builds are reproducible
+    rng = _random.Random(key)
+    i = rng.choice((i1, i2))
+    for _ in range(_CUCKOO_MAX_KICKS):
+        s = rng.randrange(_CUCKOO_SLOTS)
+        fp, table[i][s] = table[i][s], fp
+        fp_hash = int.from_bytes(
+            hashlib.blake2b(bytes([int(fp)]), digest_size=8).digest(), "little"
+        )
+        i = (i ^ fp_hash) % n_buckets
+        row = table[i]
+        for s2 in range(_CUCKOO_SLOTS):
+            if row[s2] == 0:
+                row[s2] = fp
+                return True
+    return False  # table over-full
+
+
+def _cuckoo_contains(table: np.ndarray, n_buckets: int, key: str) -> bool:
+    fp, i1, i2 = _cuckoo_fp_and_buckets(key, n_buckets)
+    return fp in table[i1] or fp in table[i2]
+
+
+def _cuckoo_delete(table: np.ndarray, n_buckets: int, key: str) -> bool:
+    fp, i1, i2 = _cuckoo_fp_and_buckets(key, n_buckets)
+    for i in (i1, i2):
+        row = table[i]
+        for s in range(_CUCKOO_SLOTS):
+            if row[s] == fp:
+                row[s] = 0
+                return True
+    return False
+
+
+def build_cuckoo(
+    seen: DataFrame,
+    key_col: str = "surt_key",
+    num_partitions: int = 32,
+    load_factor: float = 0.84,
+) -> DataFrame:
+    """Seen keys → (part_id, n_keys, n_buckets, table) rows; one cuckoo
+    table per hash partition, built partition-locally (same sharded layout
+    and probe pattern as build_bloom)."""
+    keyed = seen.select(
+        F.col(key_col).alias("key"),
+        partition_of(F.col(key_col), num_partitions).alias("part_id"),
+    ).repartition(num_partitions, "part_id")
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        part_id = int(pdf["part_id"].iloc[0]) if len(pdf) else 0
+        n = max(len(pdf), 1)
+        n_buckets = 1
+        while n_buckets * _CUCKOO_SLOTS * load_factor < n:
+            n_buckets <<= 1
+        n_buckets = max(n_buckets, 2)
+        table = np.zeros((n_buckets, _CUCKOO_SLOTS), dtype=np.uint8)
+        for key in pdf["key"]:
+            if not _cuckoo_insert(table, n_buckets, key):  # pragma: no cover
+                raise RuntimeError("cuckoo table over-full; lower load_factor")
+        return pd.DataFrame(
+            {
+                "part_id": [part_id],
+                "n_keys": [len(pdf)],
+                "n_buckets": [n_buckets],
+                "table": [table.tobytes()],
+            }
+        )
+
+    return keyed.groupBy("part_id").applyInPandas(build, _CUCKOO_SCHEMA)
+
+
+def cuckoo_delete_keys(
+    cuckoo: DataFrame,
+    stale: DataFrame,
+    key_col: str = "surt_key",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Remove stale keys (recrawl/expiry) from the partitioned filter — the
+    operation blooms cannot do; cogrouped per partition like the probe."""
+    keyed = stale.select(
+        F.col(key_col).alias("key"),
+        partition_of(F.col(key_col), num_partitions).alias("part_id"),
+    )
+
+    def delete(stale_pdf: pd.DataFrame, filt_pdf: pd.DataFrame) -> pd.DataFrame:
+        if filt_pdf.empty:
+            return filt_pdf
+        out = filt_pdf.iloc[[0]].copy()
+        n_buckets = int(out["n_buckets"].iloc[0])
+        table = np.frombuffer(out["table"].iloc[0], dtype=np.uint8).reshape(
+            n_buckets, _CUCKOO_SLOTS
+        ).copy()
+        removed = 0
+        for key in stale_pdf["key"]:
+            if _cuckoo_delete(table, n_buckets, key):
+                removed += 1
+        out["table"] = [table.tobytes()]
+        out["n_keys"] = [max(int(out["n_keys"].iloc[0]) - removed, 0)]
+        return out
+
+    return (
+        keyed.groupBy("part_id")
+        .cogroup(cuckoo.groupBy("part_id"))
+        .applyInPandas(delete, _CUCKOO_SCHEMA)
+    )
+
+
+def probe_cuckoo(
+    candidates: DataFrame,
+    cuckoo: DataFrame,
+    key_col: str = "surt_key",
+    num_partitions: int = 32,
+    keep: str = "miss",
+) -> DataFrame:
+    """Membership probe against the partitioned cuckoo filter; same keep
+    semantics and cogrouped shape as probe_bloom."""
+    if keep not in ("miss", "hit"):
+        raise ValueError(f"keep must be 'miss' or 'hit', got {keep!r}")
+    keep_hits = keep == "hit"
+    out_schema = candidates.schema
+    cols = [f.name for f in out_schema.fields]
+    with_part = candidates.withColumn(
+        "_part_id", partition_of(F.col(key_col), num_partitions)
+    )
+
+    def probe(cand_pdf: pd.DataFrame, filt_pdf: pd.DataFrame) -> pd.DataFrame:
+        if cand_pdf.empty:
+            return cand_pdf[cols]
+        if filt_pdf.empty or int(filt_pdf["n_keys"].iloc[0]) == 0:
+            return cand_pdf[cols].iloc[0:0] if keep_hits else cand_pdf[cols]
+        n_buckets = int(filt_pdf["n_buckets"].iloc[0])
+        table = np.frombuffer(filt_pdf["table"].iloc[0], dtype=np.uint8).reshape(
+            n_buckets, _CUCKOO_SLOTS
+        )
+        hit = np.array(
+            [_cuckoo_contains(table, n_buckets, k) for k in cand_pdf[key_col]],
+            dtype=bool,
+        )
+        return cand_pdf[hit][cols] if keep_hits else cand_pdf[~hit][cols]
+
+    return (
+        with_part.groupBy("_part_id")
+        .cogroup(cuckoo.groupBy("part_id"))
+        .applyInPandas(probe, out_schema)
+    )
