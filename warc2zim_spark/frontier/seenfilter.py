@@ -1,6 +1,6 @@
 """Partitioned URL-seen filter (north_rule core).
 
-Two modes behind one interface:
+Three modes behind one interface:
 
 * **exact** — a DataFrame of seen ``surt_key`` values; membership = left-anti
   join. Zero false positives; used for correctness tests and small scale.
@@ -15,6 +15,10 @@ parquet for resume (north_rule resumability). Candidates are filtered with a
 broadcast-joined bitmap per partition inside ``applyInPandas``: candidate
 rows are repartitioned by the same ``hash(surt_key) % P``, so each task
 probes exactly one bitmap.
+
+* **cuckoo** — same partitioned layout with DELETION support (recrawl /
+  snapshot expiry); 1-byte fingerprints in 4-slot buckets, ~2-3% fpp at
+  ~84% load, ~1.2 bytes/key.
 
 False-positive budget: configurable bits-per-key (default 16 → ~0.05% fpp);
 correctness mode for tests is exact (SURVEY §7 hard-part (e)).
