@@ -214,3 +214,23 @@ class TestCuckooFilter:
         # everything else stays present: no false negatives introduced
         rest = seen.join(stale, "surt_key", "left_anti")
         assert probe_cuckoo(rest, filt2, keep="hit").count() == rest.count()
+
+
+class TestBloomModeCrawl:
+    def test_bloom_schedule_equals_exact(self, spark, web_tables, tmp_path):
+        """The bloom-driven crawl (north_star headline mode) schedules the
+        same set as exact membership at this scale (deterministic hashing:
+        a divergence would be a bloom FP dropping one URL — none at this
+        fp budget/key count, and the run is reproducible)."""
+        seeds, robots, pages = web_tables
+        exact = run_crawl(
+            spark, seeds, pages, robots, str(tmp_path / "ex"),
+            max_waves=3, host_budget=4, wave_budget=50,
+        ).collect()
+        bloom = run_crawl(
+            spark, seeds, pages, robots, str(tmp_path / "bl"),
+            max_waves=3, host_budget=4, wave_budget=50, seen_mode="bloom",
+        ).collect()
+        assert schedule_key(bloom) == schedule_key(exact)
+        # and the filter itself was persisted for resume
+        assert any((tmp_path / "bl").glob("seen_bloom_wave=*"))

@@ -78,6 +78,7 @@ def crawl_wave(
     wave_budget: int = 1000,
     pages_keyed: DataFrame | None = None,
     salt_partitions: int = DEFAULT_SALT_PARTITIONS,
+    seen_bloom: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """One wave → (scheduled, next_frontier_candidates).
 
@@ -100,7 +101,15 @@ def crawl_wave(
         .withColumn("host", udfs.host_of(F.col("url")))
         .filter(F.col("host").isNotNull())
     )
-    unseen = unseen_exact(best, seen)
+    if seen_bloom is not None:
+        # partitioned-bloom membership (the 10^10-key mode): candidates hash
+        # to bitmap partitions, cogrouped probe, no exact key set anywhere.
+        # A bloom FP drops an unseen URL — the crawl-safe direction.
+        from warc2zim_spark.frontier.seenfilter import probe_bloom
+
+        unseen = probe_bloom(best, seen_bloom, keep="miss")
+    else:
+        unseen = unseen_exact(best, seen)
     allowed = robots_allowed(unseen, robots)
     # salted by default: the production path must survive zipf-hot hosts
     # (salted == unsalted proven in tests/test_frontier.py)
@@ -146,10 +155,25 @@ def run_crawl(
     start_wave: int = 0,
     initial_seen: DataFrame | None = None,
     initial_frontier: DataFrame | None = None,
+    seen_mode: str = "exact",
+    bloom_partitions: int = 32,
+    bloom_m_bits: int = 1 << 20,
 ) -> DataFrame:
     """Run (or resume) the BFS crawl; returns the full schedule
     (wave, url, surt_key, host, hops, score) read back from the checkpoint
-    directory — the durable artifact, matching what a restarted job sees."""
+    directory — the durable artifact, matching what a restarted job sees.
+
+    ``seen_mode="bloom"`` drives the seen-filter as the partitioned bloom
+    (north_star headline): each wave's scheduled keys build a fixed-size
+    per-partition bloom that OR-merges into the running filter; the filter
+    rows persist to parquet next to each wave (resume re-reads them). The
+    exact key set never materializes. ``bloom_m_bits`` is the per-partition
+    capacity plan: at 16 bits/key, 2^20 bits ≈ 65k keys/partition — size it
+    to (expected keys) × 16 / partitions at production scale."""
+    if seen_mode not in ("exact", "bloom"):
+        raise ValueError(f"seen_mode must be 'exact' or 'bloom', got {seen_mode!r}")
+    from warc2zim_spark.frontier.seenfilter import build_bloom, merge_blooms
+
     ckpt = Path(checkpoint_dir)
     ckpt.mkdir(parents=True, exist_ok=True)
     frontier = initial_frontier if initial_frontier is not None else _normalize(seeds)
@@ -158,12 +182,17 @@ def run_crawl(
         if initial_seen is not None
         else spark.createDataFrame([], "surt_key string")
     )
+    seen_bloom = None
+    if seen_mode == "bloom":
+        seen_bloom = build_bloom(
+            seen, num_partitions=bloom_partitions, m_bits=bloom_m_bits
+        ).localCheckpoint(eager=True)
     pages_keyed = page_lookup(pages).cache()
     for wave in range(start_wave, max_waves):
         scheduled, next_frontier = crawl_wave(
             frontier, seen, pages, robots,
             host_budget=host_budget, wave_budget=wave_budget,
-            pages_keyed=pages_keyed,
+            pages_keyed=pages_keyed, seen_bloom=seen_bloom,
         )
         out = scheduled.select(
             F.lit(wave).alias("wave"), "url", "surt_key", "host", "hops",
@@ -185,7 +214,25 @@ def run_crawl(
         (ckpt / f"wave={wave}._SUCCESS_WAVE").write_text("ok")
         if n_scheduled == 0:
             break
-        seen = seen.union(out.select("surt_key")).distinct().localCheckpoint(eager=True)
+        if seen_mode == "bloom":
+            wave_bloom = build_bloom(
+                out.select("surt_key"),
+                num_partitions=bloom_partitions, m_bits=bloom_m_bits,
+            )
+            seen_bloom = merge_blooms(seen_bloom, wave_bloom).localCheckpoint(
+                eager=True
+            )
+            # persist the filter itself (north_rule: seen-filter resumable
+            # from checkpoint without re-reading every wave's keys)
+            seen_bloom.write.mode("overwrite").parquet(
+                str(ckpt / f"seen_bloom_wave={wave}")
+            )
+        else:
+            seen = (
+                seen.union(out.select("surt_key"))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
         frontier = next_frontier.localCheckpoint(eager=True)
     pages_keyed.unpersist()
     waves = sorted(int(p.name.split("=")[1]) for p in ckpt.glob("wave=*") if p.is_dir())

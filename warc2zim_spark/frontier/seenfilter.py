@@ -73,9 +73,17 @@ def build_bloom(
     key_col: str = "surt_key",
     num_partitions: int = 32,
     bits_per_key: int = 16,
+    m_bits: int | None = None,
 ) -> DataFrame:
     """Seen keys → (part_id, n_keys, bitmap) rows; one bitmap per hash
-    partition, built partition-locally with applyInPandas."""
+    partition, built partition-locally with applyInPandas.
+
+    ``m_bits`` (power of two) fixes the per-partition bitmap size —
+    capacity-planned mode, required when filters from successive waves will
+    be OR-merged incrementally (``merge_blooms``)."""
+    if m_bits is not None and m_bits & (m_bits - 1):
+        raise ValueError("m_bits must be a power of two")
+    fixed_bits = m_bits
     keyed = seen.select(
         F.col(key_col).alias("key"),
         partition_of(F.col(key_col), num_partitions).alias("part_id"),
@@ -84,7 +92,7 @@ def build_bloom(
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         part_id = int(pdf["part_id"].iloc[0]) if len(pdf) else 0
         n = max(len(pdf), 1)
-        m_bits = 1 << max(10, math.ceil(math.log2(n * bits_per_key)))
+        m_bits = fixed_bits or (1 << max(10, math.ceil(math.log2(n * bits_per_key))))
         bitmap = np.zeros(m_bits // 8, dtype=np.uint8)
         hashes = _key_hashes(pdf["key"])
         mask = np.uint64(m_bits - 1)
@@ -97,6 +105,35 @@ def build_bloom(
         )
 
     return keyed.groupBy("part_id").applyInPandas(build, _BLOOM_SCHEMA)
+
+
+def merge_blooms(a: DataFrame, b: DataFrame) -> DataFrame:
+    """OR-merge two partitioned blooms of the SAME per-partition size —
+    incremental seen-set growth across crawl waves without rebuilding from
+    all keys. Cogrouped per part_id; a partition present on one side only
+    passes through."""
+    def merge(a_pdf: pd.DataFrame, b_pdf: pd.DataFrame) -> pd.DataFrame:
+        if a_pdf.empty:
+            return b_pdf
+        if b_pdf.empty:
+            return a_pdf
+        bm_a = np.frombuffer(a_pdf["bitmap"].iloc[0], dtype=np.uint8)
+        bm_b = np.frombuffer(b_pdf["bitmap"].iloc[0], dtype=np.uint8)
+        if len(bm_a) != len(bm_b):
+            raise ValueError(
+                f"bloom size mismatch: {len(bm_a)} vs {len(bm_b)} bytes — "
+                "build both with a fixed m_bits"
+            )
+        out = a_pdf.iloc[[0]].copy()
+        out["bitmap"] = [(bm_a | bm_b).tobytes()]
+        out["n_keys"] = [int(a_pdf["n_keys"].iloc[0]) + int(b_pdf["n_keys"].iloc[0])]
+        return out
+
+    return (
+        a.groupBy("part_id").cogroup(b.groupBy("part_id")).applyInPandas(
+            merge, _BLOOM_SCHEMA
+        )
+    )
 
 
 def probe_bloom(
