@@ -518,6 +518,34 @@ def q_w_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def q_w_frontier_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same 4-wave crawl with the seen-filter driven as the PARTITIONED
+    BLOOM (north_star headline mode — exact key set never materializes);
+    must reproduce the sequential oracle exactly, same SQL as w_frontier."""
+    import shutil
+    import tempfile
+
+    from warc2zim_spark.frontier.crawl import run_crawl
+
+    web = _web(sf_dir)
+    seeds = spark.read.parquet(f"{web}/seeds.parquet")
+    robots = spark.read.parquet(f"{web}/robots.parquet")
+    pages = _pages(spark, sf_dir)
+    ckpt = tempfile.mkdtemp(prefix="crawl_bloom_ckpt_")
+    try:
+        schedule = run_crawl(
+            spark, seeds, pages, robots, ckpt, max_waves=4,
+            host_budget=8, wave_budget=1000, seen_mode="bloom",
+        )
+        out = schedule.select(
+            "wave", "url", "surt_key", "host", "hops", "score"
+        ).cache()
+        out.count()
+        return out
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def q_w_digest_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star J4 generalization — payload-digest dedup groups."""
     from warc2zim_spark.operators.dedup import digest_duplicates
@@ -760,6 +788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_status_gate": q_w_status_gate,
         "w_digest_dups": q_w_digest_dups,
         "w_frontier": q_w_frontier,
+        "w_frontier_bloom": q_w_frontier_bloom,
         "d_dedup_exact": q_d_dedup_exact,
         "d_ngram_pairs": q_d_ngram_pairs,
         "d_minhash_pairs": q_d_minhash_pairs,
@@ -1086,6 +1115,10 @@ def _web_sql(sf: str = "sf0.01") -> dict[str, str]:
           FROM t
         """,
         "w_frontier": (
+            f"SELECT wave, url, surt_key, host, hops, round(score, 9) AS score "
+            f"FROM read_parquet('{WEBROOT}/{sf}/golden_frontier.parquet')"
+        ),
+"w_frontier_bloom": (
             f"SELECT wave, url, surt_key, host, hops, round(score, 9) AS score "
             f"FROM read_parquet('{WEBROOT}/{sf}/golden_frontier.parquet')"
         ),
