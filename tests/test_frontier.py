@@ -234,3 +234,21 @@ class TestBloomModeCrawl:
         assert schedule_key(bloom) == schedule_key(exact)
         # and the filter itself was persisted for resume
         assert any((tmp_path / "bl").glob("seen_bloom_wave=*"))
+
+    def test_bloom_resume_from_persisted_filter(self, spark, web_tables, tmp_path):
+        """north_rule resumability in the headline mode: restart picks up
+        the persisted bloom parquet, not a key rebuild."""
+        seeds, robots, pages = web_tables
+        full = run_crawl(
+            spark, seeds, pages, robots, str(tmp_path / "bf"),
+            max_waves=3, host_budget=4, wave_budget=50, seen_mode="bloom",
+        ).collect()
+        run_crawl(
+            spark, seeds, pages, robots, str(tmp_path / "bp"),
+            max_waves=2, host_budget=4, wave_budget=50, seen_mode="bloom",
+        )
+        resumed = resume_crawl(
+            spark, seeds, pages, robots, str(tmp_path / "bp"),
+            max_waves=3, host_budget=4, wave_budget=50, seen_mode="bloom",
+        ).collect()
+        assert schedule_key(resumed) == schedule_key(full)

@@ -158,6 +158,7 @@ def run_crawl(
     seen_mode: str = "exact",
     bloom_partitions: int = 32,
     bloom_m_bits: int = 1 << 20,
+    initial_bloom: DataFrame | None = None,
 ) -> DataFrame:
     """Run (or resume) the BFS crawl; returns the full schedule
     (wave, url, surt_key, host, hops, score) read back from the checkpoint
@@ -184,8 +185,13 @@ def run_crawl(
     )
     seen_bloom = None
     if seen_mode == "bloom":
-        seen_bloom = build_bloom(
-            seen, num_partitions=bloom_partitions, m_bits=bloom_m_bits
+        # resume fast-path: the persisted filter itself (no key rebuild)
+        seen_bloom = (
+            initial_bloom
+            if initial_bloom is not None
+            else build_bloom(
+                seen, num_partitions=bloom_partitions, m_bits=bloom_m_bits
+            )
         ).localCheckpoint(eager=True)
     pages_keyed = page_lookup(pages).cache()
     for wave in range(start_wave, max_waves):
@@ -271,6 +277,12 @@ def resume_crawl(
     ckpt = Path(checkpoint_dir)
     done = spark.read.parquet(*[str(ckpt / f"wave={w}") for w in range(last + 1)])
     seen = done.select("surt_key").distinct()
+    # bloom mode: resume from the persisted FILTER (written after each wave)
+    # instead of rebuilding it from every committed wave's keys
+    if kwargs.get("seen_mode") == "bloom":
+        bloom_path = ckpt / f"seen_bloom_wave={last}"
+        if bloom_path.exists():
+            kwargs = {**kwargs, "initial_bloom": spark.read.parquet(str(bloom_path))}
     # recompute the frontier produced by the last committed wave
     _, frontier = crawl_wave(
         done.filter(F.col("wave") == last).select("url", "surt_key", "host", "hops", "score"),
