@@ -117,3 +117,35 @@ class TestZimMetadata:
 
         assert truncated_title("x" * 40) == "x" * 29 + "…"
         assert truncated_title("short") == "short"
+
+
+class TestReferenceValidationMatrix:
+    """Verbatim cases from reference tests/test_metadata_validation.py."""
+
+    def test_valid_title(self):
+        validate_metadata(title="A title")
+
+    def test_invalid_title(self):
+        with pytest.raises(ValueError, match="Title"):
+            validate_metadata(title="A very very very very long title")
+
+    def test_valid_description(self):
+        validate_metadata(description="A description")
+
+    def test_invalid_description(self):
+        with pytest.raises(ValueError, match="Description"):
+            validate_metadata(
+                description="A " + "".join(["very " for _ in range(20)]) + "long description"
+            )
+
+    def test_valid_long_description(self):
+        validate_metadata(long_description="A long description")
+
+    def test_invalid_long_description(self):
+        with pytest.raises(ValueError, match="LongDescription"):
+            validate_metadata(
+                long_description="A " + "".join(["very " for _ in range(800)]) + "long description"
+            )
+
+    def test_valid_tags(self):
+        validate_metadata(tags="tag1;tag2")

@@ -112,3 +112,46 @@ class TestFromBytesParity:
         a = sorted(map(tuple, from_bytes.collect()))
         b = sorted(map(tuple, from_table.collect()))
         assert a == b
+
+
+class TestBasenameSortContract:
+    def test_real_world_names_sorted_by_basename(self, spark, tmp_path):
+        """Reference input ordering (tests/test_converter.py
+        two_not_sorted_in_random_unsorted_dirs): files sort by file NAME
+        regardless of directory."""
+        from warc2zim_spark.sources.warcbytes import (
+            load_warc_records,
+            records_to_warc_file,
+        )
+
+        def rec(seq, url):
+            from datetime import datetime
+
+            return dict(
+                file_seq=0, rec_seq=seq, rec_type="response", url=url,
+                warc_date=datetime(2025, 3, 1), record_id=f"<urn:uuid:{seq}>",
+                concurrent_to=None, status=200, mime="text/html",
+                resourcetype=None, http_location=None, refers_to_url=None,
+                payload=b"<html>x</html>", http_charset=None, req_method=None,
+                req_mime=None, req_body=None, req_content_length=None,
+            )
+
+        (tmp_path / "aaaa").mkdir()
+        (tmp_path / "bbb").mkdir()
+        # later basename in the EARLIER directory
+        (tmp_path / "aaaa" / "rec-h-20240724045846176-0.warc").write_bytes(
+            records_to_warc_file([rec(1, "https://late.example/")])
+        )
+        (tmp_path / "bbb" / "rec-h-20240724035746176-0.warc").write_bytes(
+            records_to_warc_file([rec(1, "https://early.example/")])
+        )
+        rows = (
+            load_warc_records(spark, f"{tmp_path}/*")
+            .orderBy("file_seq", "rec_seq")
+            .select("file_seq", "url")
+            .collect()
+        )
+        assert [(r.file_seq, r.url) for r in rows] == [
+            (0, "https://early.example/"),
+            (1, "https://late.example/"),
+        ]

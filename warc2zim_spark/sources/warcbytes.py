@@ -254,24 +254,41 @@ def parse_warc_bytes(data: bytes) -> Iterator[dict]:
 def load_warc_records(spark, warc_dir: str):
     """The distributed source: ``binaryFile`` scan of ``warc_dir`` →
     mapInPandas parse → the engine record schema. One task per file (the
-    WARC unit of parallelism); file_seq recovered from the file name,
-    rec_seq is the within-file ordinal (globally ordered by (file_seq,
-    rec_seq) exactly like the pre-parsed table)."""
+    WARC unit of parallelism); rec_seq is the within-file ordinal (globally
+    ordered by (file_seq, rec_seq) exactly like the pre-parsed table).
+
+    file_seq contract: fixture files named ``warc-NNNNN.warc[.gz]`` carry
+    their sequence in the name; anything else (real-world names like
+    ``rec-<host>-<timestamp>-0.warc.gz``) gets its **basename sort rank** —
+    the reference's input ordering (converter.py sorts inputs by file name
+    regardless of directory; pinned by tests/test_converter.py
+    ``two_not_sorted_in_random_unsorted_dirs``)."""
     import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
 
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.warc*")
         .load(warc_dir)
         .select("path", "content")
+        .withColumn(
+            "_base", F.element_at(F.split(F.col("path"), "/"), -1)
+        )
+        .withColumn(
+            "_rank",
+            F.row_number().over(Window.orderBy("_base", "path")) - 1,
+        )
     )
 
     def parse(batches):
         for pdf in batches:
             out: list[dict] = []
-            for path, content in zip(pdf["path"], pdf["content"]):
+            for path, content, rank in zip(
+                pdf["path"], pdf["content"], pdf["_rank"]
+            ):
                 m = _FILE_SEQ_RE.search(path)
-                file_seq = int(m.group(1)) if m else 0
+                file_seq = int(m.group(1)) if m else int(rank)
                 for i, row in enumerate(parse_warc_bytes(bytes(content))):
                     row["file_seq"] = file_seq
                     row["rec_seq"] = i + 1
