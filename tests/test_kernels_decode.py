@@ -133,3 +133,37 @@ class TestEdgeCases:
         assert extract_charset_from_content_type('text/html; charset="gbk"') == "gbk"
         assert extract_charset_from_content_type("text/html") is None
         assert extract_charset_from_content_type(None) is None
+
+
+class TestReferenceEncodingMatrix:
+    """Verbatim port of reference tests/test_rewriting.py
+    test_generic_rewriting_encoding_handling: content in UTF-8 or ISO-8859-1,
+    Content-Type with/without a declared charset, charsets_to_try
+    ['UTF-8','ISO-8859-1'] — the decoded string must round-trip."""
+
+    import itertools as _it
+
+    CASES = [
+        (enc, ct_base + declared)
+        for enc in ("UTF-8", "ISO-8859-1")
+        for ct_base in ("text/html", "text/css", "text/javascript", "youdontknowme")
+        for declared in ("", "; charset={enc}")
+    ]
+
+    @pytest.mark.parametrize("encoding,ct_tmpl", CASES)
+    def test_round_trip(self, encoding, ct_tmpl):
+        from warc2zim_spark.kernels.decode import to_string_or_none
+
+        content_str = "Bérénice"
+        content_type = ct_tmpl.format(enc=encoding)
+        payload = content_str.encode(encoding)
+        # the reference splits the HTTP Content-Type into mime + charset
+        http_charset = None
+        if ";" in content_type:
+            http_charset = content_type.split("charset=")[1]
+        mime = content_type.split(";")[0]
+        out = to_string_or_none(
+            payload, http_charset, ["UTF-8", "ISO-8859-1"],
+            ignore_content_header_charsets=(mime != "text/html"),
+        )
+        assert out == content_str, (encoding, content_type)

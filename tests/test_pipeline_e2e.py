@@ -59,3 +59,45 @@ class TestRunPipeline:
                 spark, webdata, str(tmp_path / "x"), name="n",
                 metadata_args={"title": "x" * 31},
             )
+
+    def test_no_main_page_aborts(self, spark, tmp_path):
+        """converter.py:315-316: no processable html-200 page → abort."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from warc2zim_spark.plans.pipeline import run_pipeline
+
+        import datetime as dt
+
+        # record table with only a redirect — no main-page candidate.
+        # Explicit types: untyped [None] columns land as arrow null type and
+        # reach pandas as NaN floats.
+        table = pa.table(
+            {
+                "file_seq": pa.array([0], pa.int64()),
+                "rec_seq": pa.array([1], pa.int64()),
+                "rec_type": pa.array(["response"], pa.string()),
+                "url": pa.array(["https://x.example/a"], pa.string()),
+                "warc_date": pa.array([dt.datetime(2025, 3, 1)], pa.timestamp("us")),
+                "record_id": pa.array(["<urn:uuid:1>"], pa.string()),
+                "concurrent_to": pa.array([None], pa.string()),
+                "status": pa.array([301], pa.int32()),
+                "mime": pa.array(["text/html"], pa.string()),
+                "resourcetype": pa.array([None], pa.string()),
+                "http_location": pa.array(["/b"], pa.string()),
+                "refers_to_url": pa.array([None], pa.string()),
+                "payload": pa.array([b"x"], pa.binary()),
+                "payload_len": pa.array([1], pa.int64()),
+                "payload_digest": pa.array(["sha256:x"], pa.string()),
+                "http_charset": pa.array([None], pa.string()),
+                "req_method": pa.array([None], pa.string()),
+                "req_mime": pa.array([None], pa.string()),
+                "req_body": pa.array([None], pa.binary()),
+                "req_content_length": pa.array([None], pa.int64()),
+            }
+        )
+        d = tmp_path / "web"
+        d.mkdir()
+        pq.write_table(table, d / "warc_records.parquet")
+        with pytest.raises(ValueError, match="main path"):
+            run_pipeline(spark, str(d), str(tmp_path / "out"), name="n")

@@ -92,7 +92,7 @@ def canonical_post_url(
                 url if url is not None else None,
                 method if method is not None else None,
                 mime if mime is not None else None,
-                bytes(body) if body is not None else None,
+                bytes(body) if isinstance(body, (bytes, bytearray, memoryview)) else None,
                 int(length) if length is not None and not pd.isna(length) else None,
             )
         )

@@ -121,6 +121,10 @@ def run_pipeline(
     # engine's own operational entries
     meta = zim_metadata(content, records, name=name, **(metadata_args or {}))
     main_row = main_page.collect()
+    if not main_row:
+        # converter.py:315-316: "Unable to find main path, aborting" — a ZIM
+        # without a main page is unusable; fail rather than emit one
+        raise ValueError("Unable to find main path, aborting")
     extra = spark.createDataFrame(
         [
             ("Main-Path", main_row[0].zim_path if main_row else ""),
