@@ -36,7 +36,11 @@ def first_wins(df: DataFrame, key: str = "zim_path") -> DataFrame:
 
 
 def with_include_domains(df: DataFrame, include_domains: list[str] | None) -> DataFrame:
-    """P7 — netloc endswith any listed domain (subdomains included)."""
+    """P7 — netloc endswith any listed domain (subdomains included),
+    converter.py:960-967. Reference quirk, documented not reproduced: its
+    own test passes ``--include-domains example.com/`` (trailing slash),
+    which ``netloc.endswith`` can never match — the test asserts over an
+    empty article set. Callers here pass bare hostnames."""
     if not include_domains:
         return df
     host = udfs.host_of(F.col("effective_url"))
