@@ -79,6 +79,7 @@ def crawl_wave(
     pages_keyed: DataFrame | None = None,
     salt_partitions: int = DEFAULT_SALT_PARTITIONS,
     seen_bloom: DataFrame | None = None,
+    bloom_partitions: int = 32,
 ) -> tuple[DataFrame, DataFrame]:
     """One wave → (scheduled, next_frontier_candidates).
 
@@ -87,6 +88,10 @@ def crawl_wave(
     ``pages``: the web-page table (url, html, ...) standing in for fetches.
     ``pages_keyed``: optional pre-built ``page_lookup(pages)`` (cached by the
     crawl driver so the 200k-row key pass happens once, not per wave).
+    ``bloom_partitions`` must match the partition count ``seen_bloom`` was
+    built with (probe_bloom validates against the filter rows and raises on
+    mismatch — a silent mismatch would pair candidates with the wrong
+    bitmaps and re-crawl seen URLs every wave).
     """
     # dedup in-wave candidates: best (hops, score) per surt_key, then anti-join
     # seen. Deterministic everywhere: url = lexicographic min, host derived
@@ -107,7 +112,9 @@ def crawl_wave(
         # A bloom FP drops an unseen URL — the crawl-safe direction.
         from warc2zim_spark.frontier.seenfilter import probe_bloom
 
-        unseen = probe_bloom(best, seen_bloom, keep="miss")
+        unseen = probe_bloom(
+            best, seen_bloom, num_partitions=bloom_partitions, keep="miss"
+        )
     else:
         unseen = unseen_exact(best, seen)
     allowed = robots_allowed(unseen, robots)
@@ -159,6 +166,8 @@ def run_crawl(
     bloom_partitions: int = 32,
     bloom_m_bits: int = 1 << 20,
     initial_bloom: DataFrame | None = None,
+    salt_partitions: int = DEFAULT_SALT_PARTITIONS,
+    salt_min_candidates: int = 1_000_000,
 ) -> DataFrame:
     """Run (or resume) the BFS crawl; returns the full schedule
     (wave, url, surt_key, host, hops, score) read back from the checkpoint
@@ -170,14 +179,24 @@ def run_crawl(
     rows persist to parquet next to each wave (resume re-reads them). The
     exact key set never materializes. ``bloom_m_bits`` is the per-partition
     capacity plan: at 16 bits/key, 2^20 bits ≈ 65k keys/partition — size it
-    to (expected keys) × 16 / partitions at production scale."""
+    to (expected keys) × 16 / partitions at production scale.
+
+    Salting is SKEW-CONDITIONAL: the salted pre-windows in politeness/top-k
+    are a pure physical rewrite (identical results, proven in tests) whose
+    extra shuffle only pays off on big skewed waves. Each wave counts its
+    (checkpoint-materialized) frontier and salts only at
+    ≥ ``salt_min_candidates`` rows — production 10^8-URL waves get the skew
+    kill, sandbox 10^4-row waves skip two full candidate shuffles (the
+    BENCH_r02 w_frontier regression)."""
     if seen_mode not in ("exact", "bloom"):
         raise ValueError(f"seen_mode must be 'exact' or 'bloom', got {seen_mode!r}")
     from warc2zim_spark.frontier.seenfilter import build_bloom, merge_blooms
 
     ckpt = Path(checkpoint_dir)
     ckpt.mkdir(parents=True, exist_ok=True)
-    frontier = initial_frontier if initial_frontier is not None else _normalize(seeds)
+    frontier = (
+        initial_frontier if initial_frontier is not None else _normalize(seeds)
+    ).localCheckpoint(eager=True)
     seen = (
         initial_seen
         if initial_seen is not None
@@ -195,10 +214,17 @@ def run_crawl(
         ).localCheckpoint(eager=True)
     pages_keyed = page_lookup(pages).cache()
     for wave in range(start_wave, max_waves):
+        # frontier is checkpoint-materialized → count is a cheap block scan;
+        # it decides whether this wave's salted pre-windows are worth their
+        # extra candidate shuffle (skew-conditional salting)
+        wave_salt = (
+            salt_partitions if frontier.count() >= salt_min_candidates else 0
+        )
         scheduled, next_frontier = crawl_wave(
             frontier, seen, pages, robots,
             host_budget=host_budget, wave_budget=wave_budget,
             pages_keyed=pages_keyed, seen_bloom=seen_bloom,
+            salt_partitions=wave_salt, bloom_partitions=bloom_partitions,
         )
         out = scheduled.select(
             F.lit(wave).alias("wave"), "url", "surt_key", "host", "hops",
