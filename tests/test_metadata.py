@@ -118,6 +118,30 @@ class TestZimMetadata:
         assert truncated_title("x" * 40) == "x" * 29 + "…"
         assert truncated_title("short") == "short"
 
+    def test_no_warcinfo_still_emits_metadata(self, spark, webdata):
+        """warcinfo records are OPTIONAL per the WARC spec: without one the
+        metadata frame must still carry every entry, with Scraper lacking
+        the upstream-software suffix (ref converter.py:366-377 joins only
+        non-empty parts) — a 0-row software frame must not crossJoin the
+        whole frame to empty."""
+        from pyspark.sql import functions as F
+
+        from warc2zim_spark.operators.records import content_records, load_records
+
+        records = load_records(spark, webdata).filter(
+            F.col("rec_type") != "warcinfo"
+        )
+        content = content_records(records)
+        meta = {
+            r.name: r.value
+            for r in zim_metadata(content, records, name="t").collect()
+        }
+        assert len(meta) == 10
+        assert meta["Name"] == "t"
+        assert meta["Scraper"].startswith("warc2zim-spark ")
+        assert "synthetic-crawler" not in meta["Scraper"]
+        assert not meta["Scraper"].endswith(",")
+
 
 class TestReferenceValidationMatrix:
     """Verbatim cases from reference tests/test_metadata_validation.py."""

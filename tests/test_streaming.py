@@ -63,6 +63,45 @@ class TestStreamItems:
         want = sorted(map(key, batch.collect()))
         assert got == want
 
+    def test_bloom_mode_equals_exact(self, spark, webdata, split_records, tmp_path):
+        """Cross-batch dedup via the persisted partitioned bloom (O(batch)
+        membership instead of an O(sink) scan per batch) must reproduce the
+        exact-mode sink at test scale (fpp ≪ 1/corpus)."""
+        from warc2zim_spark.streaming import stream_items
+
+        landing, _ = split_records
+        out_e = tmp_path / "sink_exact"
+        out_b = tmp_path / "sink_bloom"
+        stream_items(
+            spark, str(landing), str(out_e), str(tmp_path / "ck_e"),
+            max_files_per_trigger=1,
+        )
+        n = stream_items(
+            spark, str(landing), str(out_b), str(tmp_path / "ck_b"),
+            max_files_per_trigger=1, dedup_mode="bloom",
+        )
+        assert n >= 2
+        key = lambda r: (r.zim_path, r.url, r.mime, r.status, r.payload_len)
+        got = sorted(map(key, spark.read.parquet(str(out_b)).collect()))
+        want = sorted(map(key, spark.read.parquet(str(out_e)).collect()))
+        assert got == want
+        # the filter itself persisted for the next invocation
+        assert (tmp_path / "ck_b" / "seen_bloom").exists()
+
+    def test_corrupted_sink_raises(self, spark, split_records, tmp_path):
+        """A sink that EXISTS but cannot be read must fail the batch loudly —
+        silently skipping the anti-join would re-append duplicates."""
+        from warc2zim_spark.streaming import stream_items
+
+        landing, _ = split_records
+        out = tmp_path / "sink_corrupt"
+        out.mkdir()
+        (out / "part-00000.parquet").write_bytes(b"this is not parquet")
+        with pytest.raises(Exception):
+            stream_items(
+                spark, str(landing), str(out), str(tmp_path / "ck_c"),
+            )
+
     def test_resume_is_incremental(self, spark, split_records, tmp_path):
         import shutil
 

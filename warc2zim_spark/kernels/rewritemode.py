@@ -7,8 +7,10 @@ Reference semantics:
   pinned by tests/test_warc_to_zim.py:752-778
 * jsonp — rewriting.py:22-26, 264-276: splice the callback name from the
   request URL over the recorded callback
-* icon rank — icon_finder.py:25-56 comparator: exactly-48px best; else
-  smallest-≥48 beats everything; else largest-<48
+* icon rank — icon_finder.py:25-56 comparator: exactly-48px best; else any
+  >48 beats any <48, and WITHIN each of those tiers BIGGER min-dimension
+  wins (all 14 reference comparator cases ported in
+  tests/test_kernels_misc.py)
 
 The classifier is additionally exposed engine-side as a pure Spark Column
 expression (functions/expressions.py) so the hot path stays JVM-side; this

@@ -204,18 +204,35 @@ def zim_metadata(
     )
 
     dates = date_range(content)
-    software = warcinfo_software(records)
+    spark = dates.sparkSession
 
-    # 1-row frames → one row (all tiny; crossJoin of singletons)
-    one = (
-        dates.crossJoin(software)
-        .crossJoin(mp_meta.unionByName(
-            # keep the row even when no main-page record decodes
-            dates.sparkSession.createDataFrame(
-                [(None, None)], "mp_title string, mp_lang_decl string"
+    # EXACTLY-1-row frames before the crossJoin of singletons. Two traps:
+    # (a) warcinfo records are optional per the WARC spec — a 0-row software
+    #     frame would crossJoin the whole metadata frame to empty; union a
+    #     null fallback row so the frame is never empty.
+    # (b) union + limit(1) without an order is not a guaranteed-deterministic
+    #     choice (AQE/repartition could pick the fallback) — an explicit
+    #     priority column + orderBy pins the real row over the fallback.
+    def _one_row(df: DataFrame, fallback_row, schema: str) -> DataFrame:
+        return (
+            df.withColumn("_prio", F.lit(0))
+            .unionByName(
+                spark.createDataFrame([fallback_row], schema).withColumn(
+                    "_prio", F.lit(1)
+                )
             )
-        ).limit(1))
+            .orderBy("_prio")
+            .limit(1)
+            .drop("_prio")
+        )
+
+    software = _one_row(
+        warcinfo_software(records), (None,), "software string"
     )
+    mp_meta = _one_row(
+        mp_meta, (None, None), "mp_title string, mp_lang_decl string"
+    )
+    one = dates.crossJoin(software).crossJoin(mp_meta)
 
     title_expr = F.coalesce(
         F.lit(title),

@@ -267,19 +267,25 @@ def load_warc_records(spark, warc_dir: str):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    files = (
+    scan = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.warc*")
         .load(warc_dir)
-        .select("path", "content")
-        .withColumn(
-            "_base", F.element_at(F.split(F.col("path"), "/"), -1)
-        )
+    )
+    # rank on a PATHS-ONLY projection: binaryFile prunes `content` when only
+    # `path` is selected, so the global sort window moves a few strings, not
+    # every WARC file's bytes — the content scan below stays one task per
+    # file instead of collapsing into the window's single partition
+    ranks = (
+        scan.select("path")
+        .withColumn("_base", F.element_at(F.split(F.col("path"), "/"), -1))
         .withColumn(
             "_rank",
             F.row_number().over(Window.orderBy("_base", "path")) - 1,
         )
+        .select("path", "_rank")
     )
+    files = scan.select("path", "content").join(F.broadcast(ranks), "path")
 
     def parse(batches):
         for pdf in batches:

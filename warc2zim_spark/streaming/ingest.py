@@ -3,23 +3,48 @@
 Semantics vs the batch pipeline: identical output when record files arrive
 in (file_seq) order — which is how a crawler appends them. Within a
 micro-batch, first-wins dedup is the A2 window; across batches, a path that
-already reached the sink wins over any later arrival (anti-join against the
-sink's key projection — the sink itself is the dedup state, so there is no
-state store to size and restart is free). A truly out-of-order tail would
-need ``dropDuplicatesWithinWatermark`` on surt_key plus an event-time bound;
-the crawl source has no such reordering.
+already reached the sink wins over any later arrival. A truly out-of-order
+tail would need ``dropDuplicatesWithinWatermark`` on surt_key plus an
+event-time bound; the crawl source has no such reordering.
 
-Scale: the anti-join's right side is a parquet key scan of the sink (narrow
-column pruning, no payloads); at 10^10 items this becomes the partitioned
-bloom from frontier/seenfilter — same seam as the rewrite path.
+Two cross-batch membership modes:
+
+* ``dedup_mode="exact"`` — anti-join against the sink's key projection (a
+  narrow parquet scan, no payloads). Zero false positives, but the scan is
+  O(total sink items) per micro-batch — O(n²) over a long ingest. The
+  correctness mode.
+* ``dedup_mode="bloom"`` — the partitioned bloom from frontier/seenfilter
+  persisted next to the stream checkpoint and OR-merged per batch: probe
+  cost is O(batch) regardless of sink size — the 10^10-item mode. A bloom
+  false positive drops a genuinely-new item (fpp budget set by
+  ``bloom_m_bits``; 16 bits/key ≈ 0.05%) — the same tolerance class as the
+  frontier's seen filter, and the reason exact stays the default.
+
+A missing sink/filter on the first batch is detected explicitly
+(AnalysisException path-not-found only) — any OTHER read failure (corrupt
+sink parquet, permissions) raises instead of silently disabling dedup and
+appending duplicates.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 from warc2zim_spark.operators.items import items_table
 from warc2zim_spark.operators.records import content_records
+
+
+def _read_parquet_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
+    """Parquet read that treats ONLY path-not-found as 'no data yet'."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as exc:
+        msg = str(exc)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return None
+        raise
 
 
 def stream_items(
@@ -29,27 +54,61 @@ def stream_items(
     checkpoint_dir: str,
     max_files_per_trigger: int | None = None,
     include_domains: list[str] | None = None,
+    dedup_mode: str = "exact",
+    bloom_partitions: int = 32,
+    bloom_m_bits: int = 1 << 20,
 ) -> int:
     """Drain all currently-available record files into the items sink;
     returns the number of micro-batches processed. Re-invoking after more
     files land (or after a crash — checkpointed offsets) continues where it
     left off."""
+    if dedup_mode not in ("exact", "bloom"):
+        raise ValueError(f"dedup_mode must be 'exact' or 'bloom', got {dedup_mode!r}")
     schema = spark.read.parquet(records_dir).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(records_dir)
 
+    bloom_path = f"{checkpoint_dir}/seen_bloom"
     n_batches = {"n": 0}
 
     def process_batch(batch_df, batch_id: int) -> None:
+        from warc2zim_spark.frontier.seenfilter import (
+            build_bloom,
+            merge_blooms,
+            probe_bloom,
+        )
+
         items = items_table(content_records(batch_df), include_domains)
-        try:
-            existing = spark.read.parquet(out_dir).select("zim_path")
-            items = items.join(existing, "zim_path", "left_anti")
-        except Exception:
-            pass  # first batch: sink doesn't exist yet
+        if dedup_mode == "exact":
+            existing = _read_parquet_if_exists(spark, out_dir)
+            if existing is not None:
+                items = items.join(
+                    existing.select("zim_path"), "zim_path", "left_anti"
+                )
+        else:
+            bloom = _read_parquet_if_exists(spark, bloom_path)
+            if bloom is not None:
+                items = probe_bloom(
+                    items, bloom, key_col="zim_path",
+                    num_partitions=bloom_partitions, keep="miss",
+                )
+        items = items.localCheckpoint(eager=True)  # write + filter-update reuse
         items.write.mode("append").parquet(out_dir)
+        if dedup_mode == "bloom":
+            batch_bloom = build_bloom(
+                items.select("zim_path"), key_col="zim_path",
+                num_partitions=bloom_partitions, m_bits=bloom_m_bits,
+            )
+            bloom = _read_parquet_if_exists(spark, bloom_path)
+            merged = (
+                merge_blooms(bloom, batch_bloom) if bloom is not None
+                else batch_bloom
+            )
+            # materialize before overwriting the path being read
+            merged = merged.localCheckpoint(eager=True)
+            merged.write.mode("overwrite").parquet(bloom_path)
         n_batches["n"] += 1
 
     query = (
