@@ -35,6 +35,11 @@ def main() -> None:
     parser.add_argument("--creator", default="-")
     parser.add_argument("--publisher", default="openZIM")
     parser.add_argument("--custom-css", default=None, help="path to a css file")
+    # reference main.py:26 — the user-chosen main page URL; redirect-followed
+    # and existence-checked before Main-Path is written
+    parser.add_argument("--url", default=None, dest="main_url")
+    # reference main.py:40 — favicon URL overriding icon discovery
+    parser.add_argument("--favicon", default=None, dest="favicon_url")
     parser.add_argument("--crawl", action="store_true")
     parser.add_argument("--max-waves", type=int, default=4)
     parser.add_argument("--host-budget", type=int, default=8)
@@ -53,6 +58,7 @@ def main() -> None:
     metrics = run_pipeline(
         spark, args.webdata, args.out, args.include_domains,
         name=args.name, custom_css=custom_css,
+        main_url=args.main_url, favicon_url=args.favicon_url,
         metadata_args={
             "title": args.title, "description": args.description,
             "long_description": args.long_description, "language": args.lang,

@@ -51,6 +51,63 @@ class TestRunPipeline:
         assert meta["Title"] == "E2E"
         assert int(meta["Counter-Items"]) == spark.read.parquet(str(out / "items")).count()
 
+    def test_user_url_redirect_followed(self, spark, webdata, tmp_path):
+        """--url at the fixture's 302→301→307 chain head: Main-Path must land
+        on the FINAL target (ref converter.py:586-606), which must be an
+        expected item — the J5 operator reachable from the user surface."""
+        from warc2zim_spark.plans.pipeline import run_pipeline
+
+        out = tmp_path / "out_url"
+        run_pipeline(
+            spark, webdata, str(out), name="n",
+            main_url="https://redir.example/main-start",
+        )
+        meta = {
+            r.name: r.value
+            for r in spark.read.parquet(str(out / "metadata")).collect()
+        }
+        main_path = meta["Main-Path"]
+        assert main_path != "redir.example/main-start"
+        assert not main_path.startswith("redir.example/main-")
+        expected = {
+            r.zim_path
+            for r in spark.read.parquet(str(out / "expected")).collect()
+        }
+        assert main_path in expected
+
+    def test_user_url_not_in_archive_aborts(self, spark, webdata, tmp_path):
+        """ref converter.py:612-614: a --url whose resolved path is absent
+        from the archive aborts instead of emitting a broken Main-Path."""
+        from warc2zim_spark.plans.pipeline import run_pipeline
+
+        with pytest.raises(ValueError, match="Unable to find main page"):
+            run_pipeline(
+                spark, webdata, str(tmp_path / "out_missing"), name="n",
+                main_url="https://nowhere.example/never-crawled",
+            )
+
+    def test_favicon_override_with_fallback(self, spark, webdata, tmp_path):
+        """--favicon pointing at a URL with no status-200 record: the
+        override path runs, captures nothing, and the transparent fallback
+        lands (ref converter.py:920-924)."""
+        import base64
+
+        from warc2zim_spark.operators.metadata import transparent_png
+        from warc2zim_spark.plans.pipeline import run_pipeline
+
+        out = tmp_path / "out_fav"
+        run_pipeline(
+            spark, webdata, str(out), name="n",
+            favicon_url="https://nowhere.example/no-such-icon.png",
+        )
+        meta = {
+            r.name: r.value
+            for r in spark.read.parquet(str(out / "metadata")).collect()
+        }
+        assert meta["Illustration_48x48@1"] == base64.b64encode(
+            transparent_png(48)
+        ).decode("ascii")
+
     def test_validation_fails_fast(self, spark, webdata, tmp_path):
         from warc2zim_spark.plans.pipeline import run_pipeline
 

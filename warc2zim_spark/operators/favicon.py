@@ -170,6 +170,34 @@ def _to_illustration(payloads: pd.Series, fmts: pd.Series, widths: pd.Series,
     return pd.Series(out)
 
 
+def illustration_from_url(
+    records_with_payload: DataFrame, icon_url: str
+) -> DataFrame:
+    """--favicon override (main.py:40, converter.py:716-733 'try user icon
+    first'): skip discovery, capture + size + convert the record at the
+    user-given URL. 0 rows when the archive holds no such record (caller
+    falls back to discovery/transparent default)."""
+    from warc2zim_spark.kernels.surt import canonicalize
+
+    spark = records_with_payload.sparkSession
+    icon_path = canonicalize(icon_url)
+    if icon_path is None:
+        raise ValueError(f"favicon url does not canonicalize: {icon_url!r}")
+    cand = spark.createDataFrame(
+        [(icon_url, icon_path)], "icon_url string, icon_path string"
+    )
+    return (
+        ranked_icons(favicon_payloads(records_with_payload, cand))
+        .filter(F.col("pref_rank") == 1)
+        .select(
+            "icon_url", "fmt", "width", "height",
+            _to_illustration(
+                F.col("payload"), F.col("fmt"), F.col("width"), F.col("height")
+            ).alias("illustration"),
+        )
+    )
+
+
 def best_illustration(
     records_with_payload: DataFrame, main: DataFrame
 ) -> DataFrame:

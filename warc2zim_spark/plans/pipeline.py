@@ -23,10 +23,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from warc2zim_spark.operators.gather import (
-    date_range,
     expected_items,
     main_page_candidate,
-    warcinfo_software,
 )
 from warc2zim_spark.operators.items import items_table, revisit_aliases
 from warc2zim_spark.operators.records import content_records, load_records
@@ -51,11 +49,23 @@ def run_pipeline(
     name: str = "warc2zim-spark-output",
     custom_css: bytes | None = None,
     metadata_args: dict | None = None,
+    main_url: str | None = None,
+    favicon_url: str | None = None,
 ) -> dict:
     """Full pass1 + pass2 → tables under ``out_dir``; returns run metrics.
 
     ``metadata_args``: keyword passthrough to ``zim_metadata`` (title,
-    language, description, tags, ... — the reference's CLI flags)."""
+    language, description, tags, ... — the reference's CLI flags).
+
+    ``main_url``: the reference's ``--url`` (main.py:26): the user-chosen
+    main page. Its canonical path is redirect-followed (J5,
+    converter.py:586-606) and must land on an expected item, else the run
+    aborts (converter.py:612-614). Without it, A4 auto-selection applies —
+    and is redirect-followed the same way before Main-Path is written.
+
+    ``favicon_url``: the reference's ``--favicon`` (main.py:40): overrides
+    icon discovery; the illustration comes from that URL's captured record
+    (converter.py:716-738 try user icon first)."""
     # validate user metadata BEFORE any distributed work (converter.py:279-294
     # "so that we do not waste time doing operations for a scraper which will
     # fail anyway in the end")
@@ -77,9 +87,6 @@ def run_pipeline(
     edges = redirect_edges(content).cache()
     redirects = kept_redirects(edges, expected)
     full_expected = expected_with_redirects(edges, expected)
-    dates = date_range(content)
-    main_page = main_page_candidate(content)
-    software = warcinfo_software(records)
 
     # ---- pass 2: execute -------------------------------------------------
     items = items_table(content, include_domains).cache()
@@ -117,17 +124,73 @@ def run_pipeline(
 
     n_all_items = obs_items.get["rows"]
 
-    # S7: the full metadata frame (validated fail-fast inside), plus the
-    # engine's own operational entries
-    meta = zim_metadata(content, records, name=name, **(metadata_args or {}))
-    main_row = main_page.collect()
-    if not main_row:
+    # main page: --url override or A4 auto-selection, then the J5 redirect
+    # follow — Main-Path must point at the FINAL target when the landing
+    # path is a redirect source (converter.py:586-606)
+    from warc2zim_spark.kernels.surt import canonicalize
+    from warc2zim_spark.operators.gather import main_page_resolved
+
+    if main_url is not None:
+        main_path = canonicalize(main_url)
+        if main_path is None:
+            raise ValueError(f"--url does not canonicalize: {main_url!r}")
+        main_df = spark.createDataFrame(
+            [(main_path, main_url)], "zim_path string, url string"
+        )
+    else:
+        main_df = main_page_candidate(content)
+    resolved_rows = main_page_resolved(content, main_df).limit(1).collect()
+    if not resolved_rows:
         # converter.py:315-316: "Unable to find main path, aborting" — a ZIM
         # without a main page is unusable; fail rather than emit one
         raise ValueError("Unable to find main path, aborting")
+    resolved_path = resolved_rows[0].zim_path
+    if main_url is not None:
+        # a user-specified main page must actually exist in the archive
+        # (converter.py:612-614 "Unable to find main page")
+        present = (
+            full_expected.filter(F.col("zim_path") == resolved_path)
+            .limit(1)
+            .count()
+        )
+        if not present:
+            raise ValueError(
+                f"Unable to find main page {resolved_path!r} "
+                "(resolved from --url) among expected items, aborting"
+            )
+
+    # illustration: --favicon override, else discovery off the main page
+    # (J3 payload-capture join + A9 ranking); 0 captured rows → the
+    # transparent fallback inside zim_metadata (converter.py:920-924)
+    meta_args = dict(metadata_args or {})
+    if meta_args.get("illustration") is None:
+        from warc2zim_spark.operators.favicon import (
+            best_illustration,
+            illustration_from_url,
+        )
+
+        content_payload = content_records(records, with_payload=True)
+        if favicon_url is not None:
+            best = illustration_from_url(content_payload, favicon_url)
+        else:
+            best = best_illustration(
+                content_payload,
+                spark.createDataFrame(
+                    [(resolved_path, resolved_rows[0].url)],
+                    "zim_path string, url string",
+                ),
+            )
+        illu_rows = best.select("illustration").limit(1).collect()
+        if illu_rows:
+            meta_args["illustration"] = bytes(illu_rows[0].illustration)
+
+    # S7: the full metadata frame (validated fail-fast inside), plus the
+    # engine's own operational entries — title/lang cascade off the SAME
+    # main page the run selected (user --url or auto)
+    meta = zim_metadata(content, records, name=name, main=main_df, **meta_args)
     extra = spark.createDataFrame(
         [
-            ("Main-Path", main_row[0].zim_path if main_row else ""),
+            ("Main-Path", resolved_path),
             ("Counter-Items", str(n_all_items)),
         ],
         "name string, value string",
