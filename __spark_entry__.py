@@ -347,6 +347,21 @@ def q_w_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.filter(F.col("decoded").isNull()).select("case_id")
 
 
+def q_w_fails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 full — per-record failure isolation (--continue-on-error,
+    converter.py:411-437): the fixture's poison records (text-mode rows whose
+    charset names an unknown codec → LookupError inside the Arrow UDF) become
+    quarantine rows instead of task failures. Oracle re-derives the failing
+    set + stage + error text from the raw record columns in SQL."""
+    from warc2zim_spark.operators.quarantine import quarantined_records
+    from warc2zim_spark.operators.records import content_records
+
+    content = content_records(_records(spark, sf_dir), with_payload=True)
+    return quarantined_records(content).select(
+        "zim_path", "url", "file_seq", "rec_seq", "stage", "reason"
+    )
+
+
 def q_w_icon_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9/W3 — favicon ranking: the reference comparator as an orderBy over a
     derived rank expression (icon_finder.py:25-56 tiers)."""
@@ -600,23 +615,16 @@ def q_d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_duplicates(_docs(spark, sf_dir), max_hamming=3)
 
 
-def q_d_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from warc2zim_spark.operators.textops import language_id
+def q_d_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Combined per-document stats in ONE scan (no joins): language-ID
+    (kernel golden) + quality profile + whitespace token count (both
+    independently re-derived in SQL). Replaces the former d_langid /
+    d_quality / d_tokens triple — same coverage, one query slot (the
+    external driver records at most 50 queries; r02 proved the 51st entry
+    silently drops)."""
+    from warc2zim_spark.operators.textops import text_stats
 
-    return language_id(_docs(spark, sf_dir))
-
-
-def q_d_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality profile — JVM-only expressions, independent SQL oracle."""
-    from warc2zim_spark.operators.textops import text_profile
-
-    return text_profile(_docs(spark, sf_dir))
-
-
-def q_d_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from warc2zim_spark.operators.textops import token_counts
-
-    return token_counts(_docs(spark, sf_dir))
+    return text_stats(_docs(spark, sf_dir))
 
 
 def q_d_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -636,28 +644,64 @@ def q_e_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_recall_frame(approx: DataFrame, brute: DataFrame, k: int, bound: float) -> DataFrame:
+    """(query_id, n_results, meets_recall) — per-query recall of the
+    approximate index against the exact baseline, thresholded at ``bound``.
+    The neighbor sets themselves are approximate-by-design (not SQL-
+    derivable), but the recall BOUND is a deterministic, driver-checkable
+    contract: seeded hashing/KMeans → identical recall every run, so a
+    regression below the bound turns the row red."""
+    hits = approx.select("query_id", "neighbor_id").join(
+        brute.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    )
+    recall = hits.groupBy("query_id").agg(
+        (F.count("*") / float(k)).alias("recall")
+    )
+    return (
+        approx.groupBy("query_id")
+        .agg(F.count("*").alias("n_results"))
+        .join(recall, "query_id", "left")
+        .select(
+            "query_id",
+            "n_results",
+            (F.coalesce(F.col("recall"), F.lit(0.0)) >= bound).alias(
+                "meets_recall"
+            ),
+        )
+    )
+
+
 def q_e_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (approximate — rows-only check; recall pinned in
-    tests/test_training_ops.py against the brute-force baseline)."""
-    from warc2zim_spark.operators.similarity import lsh_topk
+    """LSH-bucketed ANN, oracle-checked via the recall bound: per-query
+    recall vs the exact brute-force baseline must be ≥ 0.9 (measured 1.0 at
+    sf0.01; seeded → deterministic). The raw neighbor lists stay pinned in
+    tests/test_training_ops.py."""
+    from warc2zim_spark.operators.similarity import brute_force_topk, lsh_topk
 
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 8)
-    return lsh_topk(emb, queries, k=10).select(
-        "query_id", "neighbor_id", "cosine", "rank"
+    return _ann_recall_frame(
+        lsh_topk(emb, queries, k=10),
+        brute_force_topk(emb, queries, k=10),
+        k=10, bound=0.9,
     )
 
 
 def q_e_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-Flat ANN (KMeans coarse quantizer, n_probe inverted lists probed,
-    exact re-rank). Approximate — rows-only check; recall ≥ 0.5 at
-    n_probe=n_lists/2 pinned in tests/test_training_ops.py."""
-    from warc2zim_spark.operators.similarity import ivf_topk
+    """IVF-Flat ANN (seeded KMeans coarse quantizer, n_probe=8 of 16 lists,
+    exact re-rank), oracle-checked via the recall bound: per-query recall vs
+    brute force ≥ 0.5 at this operating point (measured min 0.5 / mean 0.79
+    at sf0.01; deterministic)."""
+    from warc2zim_spark.operators.similarity import brute_force_topk, ivf_topk
 
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 8)
-    return ivf_topk(emb, queries, k=10, n_lists=16, n_probe=8).select(
-        "query_id", "neighbor_id", "cosine", "rank"
+    return _ann_recall_frame(
+        ivf_topk(emb, queries, k=10, n_lists=16, n_probe=8),
+        brute_force_topk(emb, queries, k=10),
+        k=10, bound=0.5,
     )
 
 
@@ -776,6 +820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_rewrite_mode": q_w_rewrite_mode,
         "w_decode": q_w_decode,
         "w_quarantine": q_w_quarantine,
+        "w_fails": q_w_fails,
         "w_icon_rank": q_w_icon_rank,
         "w_text_extract": q_w_text_extract,
         "w_title_lang": q_w_title_lang,
@@ -794,18 +839,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_minhash_pairs": q_d_minhash_pairs,
         "d_simhash": q_d_simhash,
         "d_simhash_pairs": q_d_simhash_pairs,
-        "d_langid": q_d_langid,
-        "d_quality": q_d_quality,
-        "d_tokens": q_d_tokens,
+        "d_textstats": q_d_textstats,
         "d_fingerprint": q_d_fingerprint,
         "e_ann_brute": q_e_ann_brute,
         "e_ann_lsh": q_e_ann_lsh,
         "e_ann_ivf": q_e_ann_ivf,
         "e_dedup_cosine": q_e_dedup_cosine,
-        "m_media_features": q_m_media_features,
         "t_pricing_summary": q_t_pricing_summary,
-        "t_top_orders": q_t_top_orders,
         "t_events_windows": q_t_events_windows,
+        "t_top_orders": q_t_top_orders,
+        # keep this dict at ≤ 50 entries: the external driver records at
+        # most 50 queries (r01: 37/37 recorded; r02: 50 of 51 — the last
+        # dict entry silently dropped). Guarded by a pytest.
+        "m_media_features": q_m_media_features,
     }
 
 
@@ -1103,6 +1149,33 @@ def _web_sql(sf: str = "sf0.01") -> dict[str, str]:
         """,
         "w_decode": f"SELECT case_id, expected_text AS decoded FROM {enc}",
         "w_quarantine": f"SELECT case_id FROM {enc} WHERE expect_error",
+        # failing set re-derived from raw record columns: a text-mode row
+        # whose DECLARED charset is the unknown codec (payload carries
+        # charset="bogus-enc" — matched hex-wise, payload is a BLOB) or
+        # whose HTTP header charset is unknown; stage from the mime, reason
+        # text reconstructed from the codec name
+        "w_fails": f"""
+          WITH c AS ({content}),
+          flagged AS (
+            SELECT zim_path_g AS zim_path, eff_url AS url, file_seq, rec_seq,
+                   split_part(coalesce(mime, ''), ';', 1) AS m,
+                   contains(to_hex(payload),
+                            '{('charset="bogus-enc"').encode().hex().upper()}')
+                     AS declared_bogus,
+                   http_charset
+            FROM c WHERE rec_type = 'response'
+          )
+          SELECT zim_path, url, file_seq, rec_seq,
+                 CASE WHEN m = 'text/html' THEN 'html'
+                      WHEN m = 'text/css' THEN 'css'
+                      WHEN m = 'application/json' THEN 'json'
+                      ELSE 'javascript' END AS stage,
+                 'LookupError: unknown encoding: ' ||
+                   CASE WHEN declared_bogus THEN 'bogus-enc'
+                        ELSE http_charset END AS reason
+          FROM flagged
+          WHERE declared_bogus OR http_charset = 'bogus-charset'
+        """,
         "w_icon_rank": """
           WITH icons(icon_id, width, height) AS (VALUES
             ('i48',48,48), ('i48x96',48,96), ('i96',96,96), ('i49',49,49),
@@ -1230,25 +1303,37 @@ def _doc_sql(sf: str = "sf0.01") -> dict[str, str]:
           FROM {dg} a JOIN {dg} b ON a.doc_id < b.doc_id
           WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         """,
-        "d_langid": f"SELECT doc_id, lang_pred FROM {dg}",
-        "d_quality": """
-          SELECT doc_id,
-                 length(coalesce(text, '')) AS n_chars,
-                 CASE WHEN trim(coalesce(text, '')) = '' THEN 0
-                      ELSE len(string_split_regex(trim(coalesce(text, '')), '\\s+')) END AS n_tokens,
-                 round(length(regexp_replace(coalesce(text, ''), '[\\w\\s]', '', 'g'))
-                       / CAST(CASE WHEN length(coalesce(text, '')) > 0
-                              THEN length(coalesce(text, '')) ELSE 1 END AS DOUBLE), 6) AS punct_ratio,
-                 round(length(regexp_replace(coalesce(text, ''), '[^A-Za-z]', '', 'g'))
-                       / CAST(CASE WHEN length(coalesce(text, '')) > 0
-                              THEN length(coalesce(text, '')) ELSE 1 END AS DOUBLE), 6) AS alpha_ratio
-          FROM documents
+        # combined per-doc stats: lang_pred from the sequential kernel golden,
+        # quality + token columns independently re-derived in SQL
+        "d_textstats": f"""
+          SELECT d.doc_id,
+                 g.lang_pred,
+                 length(coalesce(d.text, '')) AS n_chars,
+                 CASE WHEN trim(coalesce(d.text, '')) = '' THEN 0
+                      ELSE len(string_split_regex(trim(coalesce(d.text, '')), '\\s+')) END AS n_tokens,
+                 round(length(regexp_replace(coalesce(d.text, ''), '[\\w\\s]', '', 'g'))
+                       / CAST(CASE WHEN length(coalesce(d.text, '')) > 0
+                              THEN length(coalesce(d.text, '')) ELSE 1 END AS DOUBLE), 6) AS punct_ratio,
+                 round(length(regexp_replace(coalesce(d.text, ''), '[^A-Za-z]', '', 'g'))
+                       / CAST(CASE WHEN length(coalesce(d.text, '')) > 0
+                              THEN length(coalesce(d.text, '')) ELSE 1 END AS DOUBLE), 6) AS alpha_ratio,
+                 CASE WHEN trim(coalesce(d.text, '')) = '' THEN 0
+                      ELSE len(string_split_regex(trim(coalesce(d.text, '')), '\\s+')) END AS n_tokens_ws
+          FROM documents d JOIN {dg} g ON d.doc_id = g.doc_id
         """,
-        "d_tokens": """
-          SELECT doc_id,
-                 CASE WHEN trim(coalesce(text, '')) = '' THEN 0
-                      ELSE len(string_split_regex(trim(coalesce(text, '')), '\\s+')) END AS n_tokens_ws
-          FROM documents
+        # the approximate indexes' neighbor sets are not SQL-derivable, but
+        # their recall CONTRACT is: seeded hashing/KMeans → deterministic
+        # recall, so the oracle pins (every query answered, k results,
+        # bound met) — a regression below the bound turns the row red
+        "e_ann_lsh": """
+          SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_results,
+                 true AS meets_recall
+          FROM embeddings WHERE vec_id < 8
+        """,
+        "e_ann_ivf": """
+          SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_results,
+                 true AS meets_recall
+          FROM embeddings WHERE vec_id < 8
         """,
         "d_fingerprint": f"SELECT doc_id, unnest(fingerprint) AS fp FROM {dg}",
         "e_ann_brute": """
@@ -1309,12 +1394,12 @@ def _tpch_sql() -> dict[str, str]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracles. Omitted (rows-only driver check): e_ann_lsh and
-    e_ann_ivf (approximate by design — recall pinned in tests), m_media_features
-    (stub decode inside mapInPandas). d_simhash_pairs now has a brute-force
-    all-pairs oracle over the sequential simhash goldens — it verifies the
-    blocking scheme's exact completeness, while the hash values themselves
-    are cross-checked by d_simhash."""
+    """DuckDB oracles. The ONLY rows-only query left is m_media_features
+    (stub pixel decode inside mapInPandas — environment-bound). e_ann_lsh /
+    e_ann_ivf are oracle-checked via their deterministic recall bound
+    (raw neighbor lists additionally pinned in tests/test_training_ops.py);
+    d_simhash_pairs has a brute-force all-pairs oracle over the sequential
+    simhash goldens."""
     out: dict[str, str] = {}
     out.update(_web_sql("sf0.01"))
     out.update(_doc_sql("sf0.01"))

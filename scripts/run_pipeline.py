@@ -40,6 +40,8 @@ def main() -> None:
     parser.add_argument("--url", default=None, dest="main_url")
     # reference main.py:40 — favicon URL overriding icon discovery
     parser.add_argument("--favicon", default=None, dest="favicon_url")
+    # reference main.py:92-103 — skip failing records instead of aborting
+    parser.add_argument("--continue-on-error", action="store_true")
     parser.add_argument("--crawl", action="store_true")
     parser.add_argument("--max-waves", type=int, default=4)
     parser.add_argument("--host-budget", type=int, default=8)
@@ -59,6 +61,7 @@ def main() -> None:
         spark, args.webdata, args.out, args.include_domains,
         name=args.name, custom_css=custom_css,
         main_url=args.main_url, favicon_url=args.favicon_url,
+        continue_on_error=args.continue_on_error,
         metadata_args={
             "title": args.title, "description": args.description,
             "long_description": args.long_description, "language": args.lang,

@@ -16,6 +16,7 @@ class TestRunPipeline:
             spark, webdata, str(out), name="e2e-test",
             custom_css=b"body { margin: 0 }",
             metadata_args={"title": "E2E", "language": "fr", "tags": "a;b"},
+            continue_on_error=True,  # fixture carries 2 poison records
         )
         return out, metrics
 
@@ -51,6 +52,32 @@ class TestRunPipeline:
         assert meta["Title"] == "E2E"
         assert int(meta["Counter-Items"]) == spark.read.parquet(str(out / "items")).count()
 
+    def test_fails_sink_and_exclusion(self, spark, result):
+        """S10: the 2 poison records land in the fails sink with stage +
+        error class, and their paths never reach the items sink (reference
+        skips exactly the failing record under --continue-on-error)."""
+        out, metrics = result
+        fails = spark.read.parquet(str(out / "fails"))
+        rows = {r.zim_path: (r.stage, r.reason) for r in fails.collect()}
+        assert metrics["failed_records"] == 2
+        assert rows["statuses.example/poison-1.html"][0] == "html"
+        assert rows["statuses.example/poison-2.css"][0] == "css"
+        assert all(reason.startswith("LookupError") for _, reason in rows.values())
+        item_paths = {
+            r.zim_path
+            for r in spark.read.parquet(str(out / "items")).collect()
+        }
+        assert "statuses.example/poison-1.html" not in item_paths
+        assert "statuses.example/poison-2.css" not in item_paths
+
+    def test_default_aborts_on_failures(self, spark, webdata, tmp_path):
+        """reference default (no --continue-on-error): any failing record
+        aborts the run (converter.py:433-437)."""
+        from warc2zim_spark.plans.pipeline import run_pipeline
+
+        with pytest.raises(ValueError, match="failed processing"):
+            run_pipeline(spark, webdata, str(tmp_path / "abort_out"), name="n")
+
     def test_user_url_redirect_followed(self, spark, webdata, tmp_path):
         """--url at the fixture's 302→301→307 chain head: Main-Path must land
         on the FINAL target (ref converter.py:586-606), which must be an
@@ -61,6 +88,7 @@ class TestRunPipeline:
         run_pipeline(
             spark, webdata, str(out), name="n",
             main_url="https://redir.example/main-start",
+            continue_on_error=True,
         )
         meta = {
             r.name: r.value
@@ -84,6 +112,7 @@ class TestRunPipeline:
             run_pipeline(
                 spark, webdata, str(tmp_path / "out_missing"), name="n",
                 main_url="https://nowhere.example/never-crawled",
+                continue_on_error=True,
             )
 
     def test_favicon_override_with_fallback(self, spark, webdata, tmp_path):
@@ -99,6 +128,7 @@ class TestRunPipeline:
         run_pipeline(
             spark, webdata, str(out), name="n",
             favicon_url="https://nowhere.example/no-such-icon.png",
+            continue_on_error=True,
         )
         meta = {
             r.name: r.value

@@ -30,14 +30,16 @@ def make_rewrite_html_udf(spark: SparkSession, seen: DataFrame):
     @pandas_udf(StringType())
     def rewrite_html(htmls: pd.Series, base_urls: pd.Series) -> pd.Series:
         seen_keys = bc.value
-        return pd.Series(
-            [
-                _urlrewrite.rewrite_html_links(h, u, seen_keys)
-                if h is not None and u is not None
-                else None
-                for h, u in zip(htmls, base_urls)
-            ]
-        )
+        out = []
+        for h, u in zip(htmls, base_urls):
+            if h is None or u is None:
+                out.append(None)
+                continue
+            try:
+                out.append(_urlrewrite.rewrite_html_links(h, u, seen_keys))
+            except Exception:  # noqa: BLE001 — S10: row fails, task survives
+                out.append(None)
+        return pd.Series(out)
 
     return rewrite_html
 
@@ -68,7 +70,10 @@ def _rewrite_with_row_seen(
             out.append(None)
         else:
             keys = frozenset(s) if s is not None else frozenset()
-            out.append(_urlrewrite.rewrite_html_links(h, u, keys))
+            try:
+                out.append(_urlrewrite.rewrite_html_links(h, u, keys))
+            except Exception:  # noqa: BLE001 — S10: row fails, task survives
+                out.append(None)
     return pd.Series(out)
 
 
@@ -166,9 +171,12 @@ def _rewrite_full_with_row_seen(custom_css: bool):
                 outs.append(None)
             else:
                 keys = frozenset(s) if s is not None else frozenset()
-                t, o = _urlrewrite.rewrite_html_full(
-                    h, u, keys, custom_css=custom_css
-                )
+                try:
+                    t, o = _urlrewrite.rewrite_html_full(
+                        h, u, keys, custom_css=custom_css
+                    )
+                except Exception:  # noqa: BLE001 — S10 guard
+                    t, o = None, None
                 titles.append(t)
                 outs.append(o)
         return pd.DataFrame({"title": titles, "html_full": outs})
@@ -241,7 +249,10 @@ def _rewrite_js_with_row_seen(
             out.append(None)
         else:
             keys = frozenset(s) if s is not None else frozenset()
-            out.append(_js.rewrite_js(c, u, keys, is_module=bool(m)))
+            try:
+                out.append(_js.rewrite_js(c, u, keys, is_module=bool(m)))
+            except Exception:  # noqa: BLE001 — S10 guard
+                out.append(None)
     return pd.Series(out)
 
 

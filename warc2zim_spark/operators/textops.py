@@ -40,6 +40,23 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One-pass combined per-document stats: language-ID + quality profile +
+    whitespace token count — a single narrow projection (no joins, one scan;
+    the langid Arrow UDF is the only Python piece, everything else stays in
+    whole-stage codegen)."""
+    q = quality_columns(F.col(text_col))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        udfs.langid(F.col(text_col)).alias("lang_pred"),
+        q["n_chars"].alias("n_chars"),
+        q["n_tokens"].alias("n_tokens"),
+        q["punct_ratio"].alias("punct_ratio"),
+        q["alpha_ratio"].alias("alpha_ratio"),
+        token_count_ws(F.col(text_col)).cast("long").alias("n_tokens_ws"),
+    )
+
+
 def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Winnowing fingerprints, exploded to (doc_id, fp) for join-based
     containment detection."""

@@ -51,6 +51,7 @@ def run_pipeline(
     metadata_args: dict | None = None,
     main_url: str | None = None,
     favicon_url: str | None = None,
+    continue_on_error: bool = False,
 ) -> dict:
     """Full pass1 + pass2 → tables under ``out_dir``; returns run metrics.
 
@@ -65,7 +66,13 @@ def run_pipeline(
 
     ``favicon_url``: the reference's ``--favicon`` (main.py:40): overrides
     icon discovery; the illustration comes from that URL's captured record
-    (converter.py:716-738 try user icon first)."""
+    (converter.py:716-738 try user icon first).
+
+    ``continue_on_error``: the reference's ``--continue-on-error``
+    (main.py:92-103, converter.py:411-437). Failing records are captured
+    into the ``fails`` sink either way (per-record isolation — a poisoned
+    record never fails a task); False (reference default) aborts the run
+    when any exist, True skips exactly the failing records."""
     # validate user metadata BEFORE any distributed work (converter.py:279-294
     # "so that we do not waste time doing operations for a scraper which will
     # fail anyway in the end")
@@ -88,8 +95,31 @@ def run_pipeline(
     redirects = kept_redirects(edges, expected)
     full_expected = expected_with_redirects(edges, expected)
 
+    # S10: per-record failure isolation — capture fails BEFORE the item sink
+    # so the policy (abort vs skip-record) can act on them
+    from warc2zim_spark.operators.quarantine import (
+        items_excluding_fails,
+        quarantined_records,
+    )
+
+    fails = quarantined_records(
+        content_records(records, with_payload=True)
+    ).cache()
+    fails.write.mode("overwrite").parquet(str(out / "fails"))
+    n_fails = fails.count()  # cached: counts the written frame, no re-scan
+    if n_fails and not continue_on_error:
+        sample = [r.url for r in fails.limit(3).collect()]
+        raise ValueError(
+            f"{n_fails} record(s) failed processing (e.g. {sample}); "
+            f"aborting — pass continue_on_error=True to skip them "
+            f"(details in {out / 'fails'})"
+        )
+
     # ---- pass 2: execute -------------------------------------------------
-    items = items_table(content, include_domains).cache()
+    items = items_table(content, include_domains)
+    if n_fails:
+        items = items_excluding_fails(items, fails)
+    items = items.cache()
     aliases = revisit_aliases(content, items)
 
     # S8: static assets union into the item sink (converter.py:396-409)
@@ -206,8 +236,10 @@ def run_pipeline(
         "redirects": obs_redirects.get["rows"],
         "aliases": obs_aliases.get["rows"],
         "expected": obs_expected.get["rows"],
+        "failed_records": n_fails,
         "wall_s": round(time.time() - t0, 2),
     }
     (out / "metrics.json").write_text(json.dumps(metrics))
+    fails.unpersist()
     content.unpersist()
     return metrics

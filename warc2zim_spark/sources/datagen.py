@@ -484,6 +484,19 @@ def generate_warc_records(pages: pa.Table, seed: int = SEED) -> pa.Table:
     emit("response", "https://statuses.example/forced.css", status=200,
          mime="text/html", payload=b".x{}", resourcetype="stylesheet")
 
+    # S10 poison rows — the --continue-on-error failure class (reference
+    # converter.py:411-437): a text-mode record whose decode RAISES (not the
+    # tier-c None case — a declared/HTTP charset naming an unknown codec
+    # raises LookupError through utils.py's errors=replace decode in the
+    # reference too). These must become quarantine rows, never task failures.
+    emit("response", "https://statuses.example/poison-1.html", status=200,
+         mime="text/html",
+         payload=b'<html><head><meta charset="bogus-enc"></head>'
+                 b"<body>poisoned</body></html>")
+    emit("response", "https://statuses.example/poison-2.css", status=200,
+         mime="text/css", payload=b"body { color: red }",
+         resourcetype="stylesheet", http_charset="bogus-charset")
+
     return pa.table(
         {
             "file_seq": pa.array(cols["file_seq"], pa.int64()),
@@ -1046,12 +1059,22 @@ def webdata_dir(sf_name: str, root: str = "/root/repo/webdata") -> Path:
     return Path(root) / sf_name
 
 
+# bump when fixture CONTENT changes so cached webdata dirs regenerate
+# (goldens + oracles read the same regenerated parquet, so bumping is safe)
+FIXTURE_VERSION = "v3"
+
+
 def ensure_webdata(sf_name: str, root: str = "/root/repo/webdata") -> Path:
-    """Generate (once) and return the webdata dir for a scale tier."""
+    """Generate (once per FIXTURE_VERSION) and return the webdata dir for a
+    scale tier."""
+    import shutil
+
     out = webdata_dir(sf_name, root)
     marker = out / "_COMPLETE"
-    if marker.exists():
+    if marker.exists() and marker.read_text().strip() == FIXTURE_VERSION:
         return out
+    if out.exists():
+        shutil.rmtree(out)  # stale version or partial generation: start clean
     out.mkdir(parents=True, exist_ok=True)
     pages, golden = generate_pages(sf_name)
     records = generate_warc_records(pages)
@@ -1074,5 +1097,5 @@ def ensure_webdata(sf_name: str, root: str = "/root/repo/webdata") -> Path:
         _write(generate_rewrite_goldens(pages, golden), out / "rewrite_golden.parquet")
         _write(generate_js_goldens(records, pages), out / "js_golden.parquet")
         write_warc_files(records, out / "warc_files")
-    marker.write_text("ok")
+    marker.write_text(FIXTURE_VERSION)
     return out
