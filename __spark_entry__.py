@@ -902,12 +902,15 @@ def _web_sql(sf: str = "sf0.01") -> dict[str, str]:
           cand AS (
             SELECT zim_path_g AS zim_path, eff_url AS url, mime, status,
                    octet_length(payload) AS payload_len, file_seq, rec_seq,
+                   (coalesce(mime, '') LIKE 'text/html%'
+                    OR coalesce(mime, '') LIKE 'application/pdf%') AS is_front,
                    row_number() OVER (PARTITION BY zim_path_g ORDER BY file_seq, rec_seq) AS rn
             FROM content
             WHERE rec_type = 'response' AND status IN (200,201,202,203)
               AND octet_length(payload) > 0
           )
-          SELECT zim_path, url, mime, status, payload_len, file_seq, rec_seq
+          SELECT zim_path, url, mime, status, payload_len, file_seq, rec_seq,
+                 is_front
           FROM cand WHERE rn = 1 ORDER BY zim_path
         """,
         "w_items_streaming": f"""

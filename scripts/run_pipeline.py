@@ -42,6 +42,9 @@ def main() -> None:
     parser.add_argument("--favicon", default=None, dest="favicon_url")
     # reference main.py:92-103 — skip failing records instead of aborting
     parser.add_argument("--continue-on-error", action="store_true")
+    # reference main.py:144-158 — per-run charset alias rows, alias=encoding
+    parser.add_argument("--encoding-aliases", nargs="*", default=None,
+                        metavar="ALIAS=ENCODING")
     parser.add_argument("--crawl", action="store_true")
     parser.add_argument("--max-waves", type=int, default=4)
     parser.add_argument("--host-budget", type=int, default=8)
@@ -62,6 +65,10 @@ def main() -> None:
         name=args.name, custom_css=custom_css,
         main_url=args.main_url, favicon_url=args.favicon_url,
         continue_on_error=args.continue_on_error,
+        encoding_aliases=(
+            dict(p.split("=", 1) for p in args.encoding_aliases)
+            if args.encoding_aliases else None
+        ),
         metadata_args={
             "title": args.title, "description": args.description,
             "long_description": args.long_description, "language": args.lang,

@@ -122,3 +122,77 @@ class TestYoutubeiGeneralized:
         assert canonicalize(
             "https://www.youtube.com/youtubei/v1/next?videoId=abc123&pp=x"
         ) == "youtube.fuzzy.replayweb.page/youtubei/v1/next?videoId=abc123"
+
+
+class TestRound3FuzzyRules:
+    """wabac.js rule shapes added in round 3 (VERDICT r02 missing #5):
+    i.ytimg thumbnails, facebook plugins, instagram graphql, jQuery-style
+    cache-buster params. Engine-defined golden outputs (wabac source is not
+    in the sandbox; the SHAPE is what is ported)."""
+
+    def test_ytimg_thumbnail_variants_fold(self):
+        from warc2zim_spark.kernels.surt import canonicalize
+
+        a = canonicalize("https://i.ytimg.com/vi/aT-Up5Y4uRI/hqdefault.jpg")
+        b = canonicalize("https://i.ytimg.com/vi/aT-Up5Y4uRI/maxresdefault.jpg?sqp=abc&rs=x1")
+        assert a == "i.ytimg.com.fuzzy.replayweb.page/vi/aT-Up5Y4uRI/thumbnail.jpg"
+        assert a == b
+        assert canonicalize(
+            "https://i.ytimg.com/vi_webp/xyz/mqdefault.webp"
+        ) == "i.ytimg.com.fuzzy.replayweb.page/vi_webp/xyz/thumbnail.webp"
+
+    def test_ytimg_other_paths_untouched(self):
+        from warc2zim_spark.kernels.surt import canonicalize
+
+        assert canonicalize(
+            "https://i.ytimg.com/an_webp/notvideo"
+        ) == "i.ytimg.com/an_webp/notvideo"
+
+    def test_facebook_plugin_noise_dropped(self):
+        from warc2zim_spark.kernels.surt import canonicalize
+
+        out = canonicalize(
+            "https://www.facebook.com/plugins/like.php?app_id=1&channel=x"
+            "&href=https%3A%2F%2Fexample.com%2Fpage&locale=en_US&sdk=joey"
+        )
+        assert out == (
+            "facebook.com.fuzzy.replayweb.page/plugins/like.php"
+            "?href=https://example.com/page"
+        )
+
+    def test_facebook_non_plugin_untouched(self):
+        from warc2zim_spark.kernels.surt import canonicalize
+
+        assert canonicalize(
+            "https://www.facebook.com/somepage?ref=br_rs"
+        ) == "www.facebook.com/somepage?ref=br_rs"
+
+    def test_instagram_graphql_query_hash(self):
+        from warc2zim_spark.kernels.surt import canonicalize
+
+        out = canonicalize(
+            "https://www.instagram.com/graphql/query?query_hash=abc123&variables=%7B%7D"
+        )
+        assert out == (
+            "instagram.com.fuzzy.replayweb.page/graphql/query?query_hash=abc123"
+        )
+
+    def test_cache_buster_params_stripped(self):
+        from warc2zim_spark.kernels.surt import canonicalize
+
+        # trailing `_` param (jQuery ajax cache=false)
+        assert canonicalize(
+            "https://api.example.com/data.json?q=1&_=1594252804305"
+        ) == "api.example.com/data.json?q=1"
+        # leading param: separator promoted
+        assert canonicalize(
+            "https://api.example.com/data.json?_=159425&q=1"
+        ) == "api.example.com/data.json?q=1"
+        # whole query was the buster
+        assert canonicalize(
+            "https://api.example.com/data.json?cb=12345"
+        ) == "api.example.com/data.json"
+        # non-numeric value is NOT a buster
+        assert canonicalize(
+            "https://api.example.com/data.json?_=abc"
+        ) == "api.example.com/data.json?_=abc"

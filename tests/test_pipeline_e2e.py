@@ -70,6 +70,25 @@ class TestRunPipeline:
         assert "statuses.example/poison-1.html" not in item_paths
         assert "statuses.example/poison-2.css" not in item_paths
 
+    def test_encoding_aliases_rescue_poison(self, spark, webdata, tmp_path):
+        """--encoding-aliases (ref main.py:144-158): mapping the poison
+        records' unknown charsets to a real codec turns their failures into
+        clean decodes — zero fails, no abort, items present."""
+        from warc2zim_spark.plans.pipeline import run_pipeline
+
+        out = tmp_path / "out_aliases"
+        metrics = run_pipeline(
+            spark, webdata, str(out), name="n",
+            encoding_aliases={"bogus-enc": "utf-8", "bogus-charset": "utf-8"},
+        )
+        assert metrics["failed_records"] == 0
+        item_paths = {
+            r.zim_path
+            for r in spark.read.parquet(str(out / "items")).collect()
+        }
+        assert "statuses.example/poison-1.html" in item_paths
+        assert "statuses.example/poison-2.css" in item_paths
+
     def test_default_aborts_on_failures(self, spark, webdata, tmp_path):
         """reference default (no --continue-on-error): any failing record
         aborts the run (converter.py:433-437)."""

@@ -47,8 +47,15 @@ DEFAULT_HEADER_BYTES = 1024  # main.py:129-134 --content-header-bytes-length
 _PROBE_ENCODINGS = ("ascii", "utf-16", "utf-32")
 
 
-def resolve_encoding_alias(alias: str) -> str:
+def resolve_encoding_alias(alias: str, extra: dict[str, str] | None = None) -> str:
+    """Alias → codec name; ``extra`` is the per-run user table
+    (``--encoding-aliases``, reference main.py:144-158) consulted FIRST so
+    users can override the builtin rows too."""
     key = alias.lower().strip()
+    if extra:
+        hit = extra.get(key)
+        if hit is not None:
+            return hit
     return ENCODING_ALIASES.get(key, key)
 
 
@@ -70,9 +77,11 @@ def to_string(
     *,
     ignore_content_header_charsets: bool = False,
     ignore_http_header_charsets: bool = False,
+    extra_aliases: dict[str, str] | None = None,
 ) -> str:
     """Decode ``payload`` per the reference cascade. Raises ValueError when no
-    charset fits (tier-c exhaustion, utils.py:219)."""
+    charset fits (tier-c exhaustion, utils.py:219). ``extra_aliases`` is the
+    per-run user alias table (--encoding-aliases)."""
     if payload is None:
         return ""
     if isinstance(payload, str):
@@ -83,14 +92,18 @@ def to_string(
     if not ignore_content_header_charsets:
         declared = sniff_declared_charset(payload, header_bytes)
         if declared is not None:
-            return payload.decode(resolve_encoding_alias(declared), errors="replace")
+            return payload.decode(
+                resolve_encoding_alias(declared, extra_aliases), errors="replace"
+            )
 
     if not ignore_http_header_charsets and http_encoding:
-        return payload.decode(resolve_encoding_alias(http_encoding), errors="replace")
+        return payload.decode(
+            resolve_encoding_alias(http_encoding, extra_aliases), errors="replace"
+        )
 
     for charset in charsets_to_try or DEFAULT_CHARSETS_TO_TRY:
         try:
-            return payload.decode(resolve_encoding_alias(charset))
+            return payload.decode(resolve_encoding_alias(charset, extra_aliases))
         except (ValueError, LookupError):
             continue
 
@@ -105,6 +118,7 @@ def to_string_or_none(
     *,
     ignore_content_header_charsets: bool = False,
     ignore_http_header_charsets: bool = False,
+    extra_aliases: dict[str, str] | None = None,
 ) -> str | None:
     """Quarantine-friendly wrapper: None instead of raising (S10 semantics —
     per-record failure isolation, converter.py:414-437)."""
@@ -116,6 +130,7 @@ def to_string_or_none(
             header_bytes,
             ignore_content_header_charsets=ignore_content_header_charsets,
             ignore_http_header_charsets=ignore_http_header_charsets,
+            extra_aliases=extra_aliases,
         )
     except (ValueError, LookupError):
         return None

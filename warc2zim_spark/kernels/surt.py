@@ -67,7 +67,41 @@ FUZZY_RULES: list[tuple[re.Pattern[str], str]] = [
     # (reference tests/test_warc_to_zim.py:512-513 "timestamp fuzzy match",
     #  verify_warc_and_zim re.sub(r"\?\d+$", "?", url)).
     (re.compile(r"^([^?]*)\?\d+$"), r"\1"),
+    # i.ytimg video thumbnails (wabac rule shape: any thumb variant of a
+    # video id folds to one fuzzy key, trailing size/quality digits and
+    # query dropped)
+    (
+        re.compile(r"^i\.ytimg\.com/(vi(?:_webp)?)/([^/?]+)/[^/?]+\."
+                   r"(jpg|jpeg|webp|png)(?:\?.*)?$"),
+        r"i.ytimg.com.fuzzy.replayweb.page/\1/\2/thumbnail.\3",
+    ),
+    # facebook social plugins: the embedded href is the identity, everything
+    # else (locale, width, sdk version, app_id) is noise
+    (
+        re.compile(r"^(?:www\.)?facebook\.com/(plugins/[^/?]+\.php)\?.*?"
+                   r"href=([^&]+).*$"),
+        r"facebook.com.fuzzy.replayweb.page/\1?href=\2",
+    ),
+    # instagram graphql API: query_hash identifies the stored response
+    (
+        re.compile(r"^(?:www\.)?instagram\.com/graphql/query\?.*?"
+                   r"query_hash=([^&]+).*$"),
+        r"instagram.com.fuzzy.replayweb.page/graphql/query?query_hash=\1",
+    ),
 ]
+
+# jQuery-style cache-buster params (`_`, `cb`, `uncache` = digits) are
+# dropped wherever they appear in a query — the wabac generic-param rule
+# shape; runs before the platform rule battery
+_CACHE_PARAM_RE = re.compile(r"[?&](?:_|cb|uncache)=\d+(?=&|$)")
+
+
+def _strip_cache_params(key: str) -> str:
+    new = _CACHE_PARAM_RE.sub("", key)
+    if new != key and "?" not in new and "&" in new:
+        # removed the leading `?p=..`: promote the next separator
+        new = new.replace("&", "?", 1)
+    return new
 
 
 def canonicalize(url: str | None) -> str | None:
@@ -97,17 +131,22 @@ def canonicalize(url: str | None) -> str | None:
     query = unquote(parts.query)
     key = host + path + (("?" + query) if query else "")
     # cheap guards before the regex battery: ~99% of URLs match no fuzzy
-    # rule, and 6 full-regex attempts per URL tripled the kernel cost
+    # rule, and a dozen full-regex attempts per URL tripled the kernel cost
     if query:
+        if "_=" in query or "cb=" in query or "uncache=" in query:
+            key = _strip_cache_params(key)
+            query = key.partition("?")[2]
         if ("youtube" in key or "googlevideo" in key or "vimeo" in key
                 or "vod-progressive" in key or "vod-adaptive" in key
+                or "ytimg" in key or "facebook" in key or "instagram" in key
                 or query.isdigit()):
             for pattern, repl in FUZZY_RULES:
                 new_key, n = pattern.subn(repl, key)
                 if n:
                     key = new_key
                     break
-    elif "vimeo" in key or "vod-progressive" in key or "vod-adaptive" in key:
+    elif ("vimeo" in key or "vod-progressive" in key or "vod-adaptive" in key
+          or "ytimg" in key):
         for pattern, repl in FUZZY_RULES:
             new_key, n = pattern.subn(repl, key)
             if n:

@@ -75,7 +75,12 @@ def item_candidates(content: DataFrame, include_domains: list[str] | None = None
 
 def items_table(content: DataFrame, include_domains: list[str] | None = None) -> DataFrame:
     """S5 — the deduplicated item table (zim_path, url, mime, status,
-    payload_len, file_seq, rec_seq)."""
+    payload_len, file_seq, rec_seq, is_front).
+
+    ``is_front`` is the reference's FRONT_ARTICLE hint (items.py:58-62):
+    mimetype startswith text/html or application/pdf — front articles enter
+    the ZIM's suggestion/search index."""
+    mime_full = F.coalesce(F.col("mime"), F.lit(""))
     narrow = item_candidates(content, include_domains).select(
         "zim_path",
         F.col("effective_url").alias("url"),
@@ -84,6 +89,10 @@ def items_table(content: DataFrame, include_domains: list[str] | None = None) ->
         "payload_len",
         "file_seq",
         "rec_seq",
+        (
+            mime_full.startswith("text/html")
+            | mime_full.startswith("application/pdf")
+        ).alias("is_front"),
     )
     # project BEFORE the dedup window: the shuffle ships ~150 B/row keys+attrs
     # instead of full records

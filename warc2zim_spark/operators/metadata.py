@@ -74,18 +74,19 @@ def static_asset_items(
             len(content.encode("utf-8")),
             -1,
             seq,
+            False,  # statics never carry the FRONT_ARTICLE hint
         )
         for seq, (name, content) in enumerate(STATIC_JS_ASSETS)
     ]
     if custom_css is not None:
         rows.append(
             ("_zim_static/custom.css", None, "text/css", None,
-             len(custom_css), -1, len(rows))
+             len(custom_css), -1, len(rows), False)
         )
     return spark.createDataFrame(
         rows,
         "zim_path string, url string, mime string, status int, "
-        "payload_len long, file_seq long, rec_seq long",
+        "payload_len long, file_seq long, rec_seq long, is_front boolean",
     )
 
 

@@ -28,32 +28,45 @@ from warc2zim_spark.functions.expressions import rewrite_mode_expr
 from warc2zim_spark.kernels import decode as _decode
 
 
-@pandas_udf(StringType())
-def decode_error(
-    payloads: pd.Series, http_charsets: pd.Series, modes: pd.Series
-) -> pd.Series:
+def make_decode_error_udf(extra_aliases: dict[str, str] | None = None):
     """Per-row failure capture for the decode stage: null on success, else
     ``ExceptionClass: message`` (truncated). The guard is ``except
     Exception`` on purpose — ANY kernel failure must become data, not a
-    task failure."""
-    out = []
-    for payload, charset, mode in zip(payloads, http_charsets, modes):
-        if payload is None:
-            out.append(None)
-            continue
-        try:
-            _decode.to_string(
-                bytes(payload),
-                charset if charset is not None else None,
-                ignore_content_header_charsets=(mode != "html"),
-            )
-            out.append(None)
-        except Exception as exc:  # noqa: BLE001 — the guard IS the feature
-            out.append(f"{type(exc).__name__}: {exc}"[:200])
-    return pd.Series(out)
+    task failure. ``extra_aliases`` is the per-run user alias table
+    (``--encoding-aliases``, reference main.py:144-158): an alias the user
+    maps turns a would-be failure into a successful decode."""
+
+    @pandas_udf(StringType())
+    def decode_error(
+        payloads: pd.Series, http_charsets: pd.Series, modes: pd.Series
+    ) -> pd.Series:
+        out = []
+        for payload, charset, mode in zip(payloads, http_charsets, modes):
+            if payload is None:
+                out.append(None)
+                continue
+            try:
+                _decode.to_string(
+                    bytes(payload),
+                    charset if charset is not None else None,
+                    ignore_content_header_charsets=(mode != "html"),
+                    extra_aliases=extra_aliases,
+                )
+                out.append(None)
+            except Exception as exc:  # noqa: BLE001 — the guard IS the feature
+                out.append(f"{type(exc).__name__}: {exc}"[:200])
+        return pd.Series(out)
+
+    return decode_error
 
 
-def quarantined_records(content_with_payload: DataFrame) -> DataFrame:
+decode_error = make_decode_error_udf()
+
+
+def quarantined_records(
+    content_with_payload: DataFrame,
+    encoding_aliases: dict[str, str] | None = None,
+) -> DataFrame:
     """(zim_path, url, file_seq, rec_seq, stage, reason) — response records
     whose text-rewrite stage fails. ``stage`` is the C1 rewrite mode (only
     text modes decode; binary passthrough records cannot fail here)."""
@@ -63,13 +76,18 @@ def quarantined_records(content_with_payload: DataFrame) -> DataFrame:
         F.col("zim_path"),
         F.col("p_method"),
     )
+    err_udf = (
+        decode_error
+        if encoding_aliases is None
+        else make_decode_error_udf(encoding_aliases)
+    )
     return (
         content_with_payload.filter(F.col("rec_type") == "response")
         .withColumn("stage", mode)
         .filter(F.col("stage").isNotNull())
         .withColumn(
             "reason",
-            decode_error(F.col("payload"), F.col("http_charset"), F.col("stage")),
+            err_udf(F.col("payload"), F.col("http_charset"), F.col("stage")),
         )
         .filter(F.col("reason").isNotNull())
         .select(

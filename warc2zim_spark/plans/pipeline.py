@@ -52,6 +52,7 @@ def run_pipeline(
     main_url: str | None = None,
     favicon_url: str | None = None,
     continue_on_error: bool = False,
+    encoding_aliases: dict[str, str] | None = None,
 ) -> dict:
     """Full pass1 + pass2 → tables under ``out_dir``; returns run metrics.
 
@@ -72,7 +73,12 @@ def run_pipeline(
     (main.py:92-103, converter.py:411-437). Failing records are captured
     into the ``fails`` sink either way (per-record isolation — a poisoned
     record never fails a task); False (reference default) aborts the run
-    when any exist, True skips exactly the failing records."""
+    when any exist, True skips exactly the failing records.
+
+    ``encoding_aliases``: the reference's ``--encoding-aliases``
+    (main.py:144-158) — per-run {alias: encoding} rows consulted before the
+    builtin table; mapping a record's unknown charset turns its would-be
+    failure into a clean decode."""
     # validate user metadata BEFORE any distributed work (converter.py:279-294
     # "so that we do not waste time doing operations for a scraper which will
     # fail anyway in the end")
@@ -103,7 +109,8 @@ def run_pipeline(
     )
 
     fails = quarantined_records(
-        content_records(records, with_payload=True)
+        content_records(records, with_payload=True),
+        encoding_aliases=encoding_aliases,
     ).cache()
     fails.write.mode("overwrite").parquet(str(out / "fails"))
     n_fails = fails.count()  # cached: counts the written frame, no re-scan
