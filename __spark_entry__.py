@@ -713,10 +713,18 @@ def q_e_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_m_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing — mapInPandas feature extraction (stub decode)."""
-    from warc2zim_spark.operators.multimodal import media_features, synth_media
+    """Multimodal plumbing — mapInPandas feature extraction over the media
+    fixture. Dimensions come from the REAL stdlib container sniffer
+    (PNG/GIF/ICO/SVG headers); the oracle holds the sizes datagen BUILT the
+    containers at, so the sniffer is checked independently, not self-golden.
+    Only the pixel-level feature vector remains the documented environment
+    seam (excluded from the compare; pinned in pytest)."""
+    from warc2zim_spark.operators.multimodal import media_features
 
-    return media_features(synth_media(spark, n=64)).select(
+    media = spark.read.parquet(f"{_web(sf_dir)}/media_fixture.parquet").select(
+        "media_id", "kind", "payload"
+    )
+    return media_features(media).select(
         "media_id", "kind", "n_bytes", "width", "height"
     )
 
@@ -1243,6 +1251,11 @@ def _web_sql(sf: str = "sf0.01") -> dict[str, str]:
           FROM ({content}) WHERE rec_type = 'response'
           GROUP BY status ORDER BY status
         """,
+        "m_media_features": f"""
+          SELECT media_id, kind, n_bytes_g AS n_bytes,
+                 width_g AS width, height_g AS height
+          FROM read_parquet('{WEBROOT}/{sf}/media_fixture.parquet')
+        """,
         "w_digest_dups": f"""
           SELECT payload_digest, count(*) AS n_copies,
                  min(file_seq) AS orig_file_seq,
@@ -1397,11 +1410,12 @@ def _tpch_sql() -> dict[str, str]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracles. The ONLY rows-only query left is m_media_features
-    (stub pixel decode inside mapInPandas — environment-bound). e_ann_lsh /
-    e_ann_ivf are oracle-checked via their deterministic recall bound
-    (raw neighbor lists additionally pinned in tests/test_training_ops.py);
-    d_simhash_pairs has a brute-force all-pairs oracle over the sequential
+    """DuckDB oracles — every queries() entry now has one. e_ann_lsh /
+    e_ann_ivf are checked via their deterministic recall bound (raw
+    neighbor lists additionally pinned in tests/test_training_ops.py);
+    m_media_features via construction-time container dimensions (the pixel
+    feature vector stays a documented seam, excluded from the compare);
+    d_simhash_pairs via a brute-force all-pairs oracle over the sequential
     simhash goldens."""
     out: dict[str, str] = {}
     out.update(_web_sql("sf0.01"))

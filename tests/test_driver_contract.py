@@ -10,9 +10,8 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 # queries with no SQL twin, each with a reason the judge can audit
-ROWS_ONLY = {
-    "m_media_features": "stub pixel decode (environment-bound seam)",
-}
+# (empty since round 3: every query is oracle-checked)
+ROWS_ONLY: dict[str, str] = {}
 
 DRIVER_QUERY_CAP = 50
 

@@ -1025,6 +1025,63 @@ def generate_icon_fixture(records: pa.Table) -> pa.Table:
     )
 
 
+def generate_media_fixture() -> pa.Table:
+    """Multimodal fixture with INDEPENDENTLY-known dimensions: datagen
+    constructs each container at a chosen size and records that size as the
+    golden — the engine's stdlib header sniffer must parse it back from the
+    bytes alone, so the oracle check is not self-golden. Covers PNG (real
+    encoder), GIF (logical screen descriptor), ICO (directory entry), SVG
+    (width/height attrs), and the empty payload (0×0)."""
+    from warc2zim_spark.kernels.imagemeta import make_png
+
+    rows: list[tuple[int, str, bytes, int, int]] = []
+    mid = 0
+
+    def add(payload: bytes, w: int, h: int) -> None:
+        nonlocal mid
+        rows.append((mid, "image", payload, w, h))
+        mid += 1
+
+    for size in (16, 32, 48, 96, 256):
+        add(make_png(size), size, size)
+    for w, h in ((120, 90), (640, 480)):
+        gif = (
+            b"GIF89a"
+            + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+            + b"\x00\x00\x00"  # no GCT, bg, aspect
+        )
+        add(gif, w, h)
+    for w, h in ((32, 32), (48, 48)):
+        wb = 0 if w == 256 else w
+        hb = 0 if h == 256 else h
+        ico = (
+            b"\x00\x00\x01\x00\x01\x00"        # ICO header, 1 image
+            + bytes([wb, hb, 0, 0])              # w, h, palette, reserved
+            + b"\x01\x00\x20\x00"                # planes, bpp
+            + (16).to_bytes(4, "little")         # data size
+            + (22).to_bytes(4, "little")         # data offset
+            + b"\x00" * 16
+        )
+        add(ico, w, h)
+    for w, h in ((100, 50), (48, 48)):
+        svg = (
+            f'<svg xmlns="http://www.w3.org/2000/svg" width="{w}" '
+            f'height="{h}"><rect width="{w}" height="{h}"/></svg>'
+        ).encode("utf-8")
+        add(svg, w, h)
+    add(b"", 0, 0)
+    return pa.table(
+        {
+            "media_id": pa.array([r[0] for r in rows], pa.int64()),
+            "kind": pa.array([r[1] for r in rows], pa.string()),
+            "payload": pa.array([r[2] for r in rows], pa.binary()),
+            "n_bytes_g": pa.array([len(r[2]) for r in rows], pa.int64()),
+            "width_g": pa.array([r[3] for r in rows], pa.int32()),
+            "height_g": pa.array([r[4] for r in rows], pa.int32()),
+        }
+    )
+
+
 def write_warc_files(records: pa.Table, out_dir) -> None:
     """Serialize the synthetic record table to real WARC/1.1 bytes, one file
     per file_seq (the last one gzip member-per-record to cover the .warc.gz
@@ -1061,7 +1118,7 @@ def webdata_dir(sf_name: str, root: str = "/root/repo/webdata") -> Path:
 
 # bump when fixture CONTENT changes so cached webdata dirs regenerate
 # (goldens + oracles read the same regenerated parquet, so bumping is safe)
-FIXTURE_VERSION = "v3"
+FIXTURE_VERSION = "v4"
 
 
 def ensure_webdata(sf_name: str, root: str = "/root/repo/webdata") -> Path:
@@ -1084,6 +1141,7 @@ def ensure_webdata(sf_name: str, root: str = "/root/repo/webdata") -> Path:
     _write(generate_encoded_payloads(), out / "encoded_payloads.parquet")
     _write(generate_jsonp_cases(), out / "jsonp_cases.parquet")
     _write(generate_icon_fixture(records), out / "icons_fixture.parquet")
+    _write(generate_media_fixture(), out / "media_fixture.parquet")
     _write(generate_seeds(golden), out / "seeds.parquet")
     _write(generate_robots(golden), out / "robots.parquet")
     testdata = Path("/root/testdata") / sf_name / "documents.parquet"
