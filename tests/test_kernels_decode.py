@@ -167,3 +167,47 @@ class TestReferenceEncodingMatrix:
             ignore_content_header_charsets=(mime != "text/html"),
         )
         assert out == content_str, (encoding, content_type)
+
+
+class TestProbeDecodeFailureParity:
+    """The quarantine fast probe (header-bytes codec check, no full-payload
+    decode) must agree exactly with to_string's raise behavior — it exists
+    only as a cost optimization."""
+
+    CASES = [
+        # (payload, http_charset, mode)
+        (b'<html><meta charset="bogus-enc"><body>x</body></html>', None, "html"),
+        (b'<html><meta charset="bogus-enc"><body>x</body></html>', None, "css"),
+        (b"body { color: red }", "bogus-charset", "css"),
+        (b"body { color: red }", "utf-8", "css"),
+        (b"<html><body>plain</body></html>", None, "html"),
+        (b"\xff\xfe\x00bytes with no declaration", None, "html"),
+        (b'<html><meta charset="utf-8"><body>ok</body></html>', None, "html"),
+        (b'<html><meta charset="iso88591"><body>alias</body></html>', None, "html"),
+        (b"", None, "html"),
+    ]
+
+    def test_parity_with_to_string(self):
+        from warc2zim_spark.kernels.decode import to_string
+        from warc2zim_spark.operators.quarantine import _probe_decode_failure
+
+        for payload, charset, mode in self.CASES:
+            try:
+                to_string(
+                    payload, charset,
+                    ignore_content_header_charsets=(mode != "html"),
+                )
+                slow_fails = None
+            except Exception as exc:  # noqa: BLE001
+                slow_fails = f"{type(exc).__name__}: {exc}"[:200]
+            fast = _probe_decode_failure(payload, charset, mode, None)
+            assert fast == slow_fails, (payload, charset, mode, fast, slow_fails)
+
+    def test_parity_with_aliases(self):
+        from warc2zim_spark.operators.quarantine import _probe_decode_failure
+
+        aliases = {"bogus-enc": "utf-8"}
+        assert _probe_decode_failure(
+            b'<html><meta charset="bogus-enc"><body>x</body></html>',
+            None, "html", aliases,
+        ) is None

@@ -28,13 +28,59 @@ from warc2zim_spark.functions.expressions import rewrite_mode_expr
 from warc2zim_spark.kernels import decode as _decode
 
 
+def _probe_decode_failure(
+    payload: bytes,
+    http_charset: str | None,
+    mode: str,
+    extra_aliases: dict[str, str] | None,
+) -> str | None:
+    """Would ``to_string(payload, ...)`` raise? Answered WITHOUT decoding
+    the full payload on the common paths — at 100 TB a failure-detection
+    pass that re-decodes every text payload doubles the decode bill.
+
+    Tier (a)/(b) use ``errors=replace``: they can only fail on the CODEC
+    itself (unknown name → LookupError, non-bytes codec → TypeError), which
+    a header-bytes decode probes exactly. Tier (c) (no declared/header
+    charset) strict-decodes the whole payload by definition — only that
+    rare path pays full cost."""
+    try:
+        declared = (
+            _decode.sniff_declared_charset(payload) if mode == "html" else None
+        )
+        head = payload[: _decode.DEFAULT_HEADER_BYTES]
+        if declared is not None:
+            head.decode(
+                _decode.resolve_encoding_alias(declared, extra_aliases),
+                errors="replace",
+            )
+            return None
+        if http_charset:
+            head.decode(
+                _decode.resolve_encoding_alias(http_charset, extra_aliases),
+                errors="replace",
+            )
+            return None
+        # tier (c): strict try-list over the full payload (the default list
+        # ends in ISO-8859-1, which decodes any byte string, so this only
+        # raises under a user-narrowed try-list)
+        _decode.to_string(
+            payload,
+            None,
+            ignore_content_header_charsets=True,
+            ignore_http_header_charsets=True,
+            extra_aliases=extra_aliases,
+        )
+        return None
+    except Exception as exc:  # noqa: BLE001 — the guard IS the feature
+        return f"{type(exc).__name__}: {exc}"[:200]
+
+
 def make_decode_error_udf(extra_aliases: dict[str, str] | None = None):
     """Per-row failure capture for the decode stage: null on success, else
-    ``ExceptionClass: message`` (truncated). The guard is ``except
-    Exception`` on purpose — ANY kernel failure must become data, not a
-    task failure. ``extra_aliases`` is the per-run user alias table
-    (``--encoding-aliases``, reference main.py:144-158): an alias the user
-    maps turns a would-be failure into a successful decode."""
+    ``ExceptionClass: message`` (truncated). ANY kernel failure must become
+    data, not a task failure. ``extra_aliases`` is the per-run user alias
+    table (``--encoding-aliases``, reference main.py:144-158): an alias the
+    user maps turns a would-be failure into a successful decode."""
 
     @pandas_udf(StringType())
     def decode_error(
@@ -45,16 +91,14 @@ def make_decode_error_udf(extra_aliases: dict[str, str] | None = None):
             if payload is None:
                 out.append(None)
                 continue
-            try:
-                _decode.to_string(
+            out.append(
+                _probe_decode_failure(
                     bytes(payload),
                     charset if charset is not None else None,
-                    ignore_content_header_charsets=(mode != "html"),
-                    extra_aliases=extra_aliases,
+                    mode,
+                    extra_aliases,
                 )
-                out.append(None)
-            except Exception as exc:  # noqa: BLE001 — the guard IS the feature
-                out.append(f"{type(exc).__name__}: {exc}"[:200])
+            )
         return pd.Series(out)
 
     return decode_error
