@@ -402,8 +402,11 @@ def q_w_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_w_title_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A7/A8 — title + declared-language extraction per page."""
+def q_w_page_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/A8 + C3-subset in ONE extract_meta pass: title, declared
+    language, outlink count per page (merged former w_title_lang +
+    w_links_out — same coverage, one query slot under the 50-entry driver
+    cap)."""
     from warc2zim_spark.functions import udfs
 
     pages = _pages(spark, sf_dir)
@@ -411,7 +414,10 @@ def q_w_title_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         udfs.decode_payload(F.col("html"), F.lit(None).cast("string"), F.lit("html"))
     )
     return pages.select(
-        "url", meta["title"].alias("title"), meta["lang_decl"].alias("lang_decl")
+        "url",
+        meta["title"].alias("title"),
+        meta["lang_decl"].alias("lang_decl"),
+        F.size(meta["links"]).cast("long").alias("n_links"),
     )
 
 
@@ -425,19 +431,6 @@ def q_w_icons(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pages.select("url", meta["icons"].alias("icons")).select(
         "url", F.explode("icons").alias("icon_href")
-    )
-
-
-def q_w_links_out(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C3-subset — outlink counts per page (href/src/srcset/css-url surface)."""
-    from warc2zim_spark.functions import udfs
-
-    pages = _pages(spark, sf_dir)
-    meta = udfs.extract_meta(
-        udfs.decode_payload(F.col("html"), F.lit(None).cast("string"), F.lit("html"))
-    )
-    return pages.select(
-        "url", F.size(meta["links"]).cast("long").alias("n_links")
     )
 
 
@@ -595,6 +588,22 @@ def q_d_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_duplicates(_docs(spark, sf_dir), threshold=0.8).select(
         "id_a", "id_b", "jaccard"
     )
+
+
+def q_d_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components dedup clustering over the MinHash near-dup
+    pairs — the keep-one-per-cluster step of a training-data pipeline.
+    Hash-min label propagation (O(diameter) rounds, one shuffle each);
+    oracle is a DuckDB recursive-CTE transitive closure taking the min
+    reachable id per node — structurally independent of the propagation
+    loop."""
+    from warc2zim_spark.operators.dedup import (
+        duplicate_clusters,
+        minhash_near_duplicates,
+    )
+
+    pairs = minhash_near_duplicates(_docs(spark, sf_dir), threshold=0.8)
+    return duplicate_clusters(pairs).orderBy("doc_id")
 
 
 def q_d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -831,9 +840,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_fails": q_w_fails,
         "w_icon_rank": q_w_icon_rank,
         "w_text_extract": q_w_text_extract,
-        "w_title_lang": q_w_title_lang,
+        "w_page_meta": q_w_page_meta,
         "w_icons": q_w_icons,
-        "w_links_out": q_w_links_out,
         "w_rewrite_html": q_w_rewrite_html,
         "w_rewrite_html_full": q_w_rewrite_html_full,
         "w_js_modules": q_w_js_modules,
@@ -845,6 +853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_dedup_exact": q_d_dedup_exact,
         "d_ngram_pairs": q_d_ngram_pairs,
         "d_minhash_pairs": q_d_minhash_pairs,
+        "d_dedup_clusters": q_d_dedup_clusters,
         "d_simhash": q_d_simhash,
         "d_simhash_pairs": q_d_simhash_pairs,
         "d_textstats": q_d_textstats,
@@ -1207,9 +1216,8 @@ def _web_sql(sf: str = "sf0.01") -> dict[str, str]:
             f"FROM read_parquet('{WEBROOT}/{sf}/golden_frontier.parquet')"
         ),
         "w_text_extract": f"SELECT url, text FROM {pages}",
-        "w_title_lang": f"SELECT url, title, lang_decl FROM {pg}",
+        "w_page_meta": f"SELECT url, title, lang_decl, n_links FROM {pg}",
         "w_icons": f"SELECT url, unnest(icons) AS icon_href FROM {pg}",
-        "w_links_out": f"SELECT url, n_links FROM {pg}",
         "w_rewrite_html": (
             f"SELECT url, html_rw_sha FROM "
             f"read_parquet('{WEBROOT}/{sf}/rewrite_golden.parquet')"
@@ -1311,6 +1319,29 @@ def _doc_sql(sf: str = "sf0.01") -> dict[str, str]:
           WHERE (CASE WHEN len(list_distinct(a.bag || b.bag)) = 0 THEN 1.0
                  ELSE len(list_intersect(a.bag, b.bag))
                       / CAST(len(list_distinct(a.bag || b.bag)) AS DOUBLE) END) >= 0.8
+        """,
+        # transitive closure via recursive CTE: min reachable id per node —
+        # independent of the engine's label-propagation loop
+        "d_dedup_clusters": f"""
+          WITH RECURSIVE g AS ({grams}),
+          pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM g a JOIN g b ON a.doc_id < b.doc_id
+            WHERE (CASE WHEN len(list_distinct(a.bag || b.bag)) = 0 THEN 1.0
+                   ELSE len(list_intersect(a.bag, b.bag))
+                        / CAST(len(list_distinct(a.bag || b.bag)) AS DOUBLE) END) >= 0.8
+          ),
+          edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs
+          ),
+          reach(id, r) AS (
+            SELECT DISTINCT a, a FROM edges
+            UNION
+            SELECT x.id, e.b FROM reach x JOIN edges e ON e.a = x.r
+          )
+          SELECT id AS doc_id, min(r) AS cluster_id
+          FROM reach GROUP BY id ORDER BY doc_id
         """,
         "d_simhash": f"SELECT doc_id, simhash FROM {dg}",
         "d_simhash_pairs": f"""

@@ -188,3 +188,43 @@ class TestMediaRealDims:
         assert (rows[0].width, rows[0].height) == (48, 48)
         assert (rows[1].width, rows[1].height) == (96, 96)
         assert rows[2].width > 0  # stub fallback stays total
+
+
+class TestDuplicateClusters:
+    def test_matches_union_find(self, spark):
+        """Label propagation == classic union-find on a graph with a chain
+        (diameter > 1), a separate pair, and an isolated doc (excluded)."""
+        from warc2zim_spark.operators.dedup import duplicate_clusters
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (7, 8), (10, 11), (11, 10)],
+            "id_a long, id_b long",
+        )
+        got = {
+            (r.doc_id, r.cluster_id)
+            for r in duplicate_clusters(pairs).collect()
+        }
+        # union-find oracle
+        parent = {}
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        for a, b in [(1, 2), (2, 3), (3, 4), (7, 8), (10, 11)]:
+            union(a, b)
+        want = {(x, find(x)) for x in parent}
+        assert got == want
+        assert (1, 1) in got and (4, 1) in got  # chain collapsed to min id
+        assert (8, 7) in got and (11, 10) in got
+
+    def test_empty_pairs(self, spark):
+        from warc2zim_spark.operators.dedup import duplicate_clusters
+
+        pairs = spark.createDataFrame([], "id_a long, id_b long")
+        assert duplicate_clusters(pairs).count() == 0

@@ -253,3 +253,68 @@ def digest_duplicates(records: DataFrame) -> DataFrame:
             F.col("first.rec_seq").alias("orig_rec_seq"),
         )
     )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-duplicate PAIRS → (doc_id,
+    cluster_id), cluster_id = min doc id in the component — the step a
+    training-data pipeline runs after pair generation to keep ONE document
+    per duplicate cluster (drop everything where doc_id != cluster_id).
+
+    Algorithm: hash-min label propagation — every node starts labeled with
+    itself; each round every node takes the min of its own label and its
+    neighbors' labels; converges in O(component diameter) rounds.
+    Near-dup clusters have tiny diameters (pairs come from a similarity
+    join, which is naturally clique-ish), so the loop ends after 2-3 rounds
+    with an early-exit check; each round is one shuffle on node id plus a
+    min-aggregate, with ``localCheckpoint`` truncating lineage exactly like
+    the crawl loop. For adversarial long-chain graphs at 10^10 edges the
+    same loop structure accepts the large-star/small-star rewrite
+    (Kiveris et al., "Connected Components in MapReduce") — the per-round
+    plan is unchanged, only the edge transformation differs.
+
+    Only documents that appear in at least one pair are returned
+    (singletons are their own cluster trivially and would dominate the
+    output at corpus scale)."""
+    edges = pairs.select(
+        F.col(id_a).cast("long").alias("a"), F.col(id_b).cast("long").alias("b")
+    )
+    edges = (
+        edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = edges.join(
+            labels, edges["b"] == labels["id"]
+        ).select(F.col("a").alias("id"), "label")
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
