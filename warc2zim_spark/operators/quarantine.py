@@ -113,7 +113,13 @@ def quarantined_records(
 ) -> DataFrame:
     """(zim_path, url, file_seq, rec_seq, stage, reason) — response records
     whose text-rewrite stage fails. ``stage`` is the C1 rewrite mode (only
-    text modes decode; binary passthrough records cannot fail here)."""
+    text modes decode; binary passthrough records cannot fail here).
+
+    Prefers the ``payload_head`` ingest column (first KiB) over the full
+    ``payload`` — the probe only needs the declaration window plus the codec
+    name, so the fails pass column-prunes to ~1 KiB/row (with the default
+    try-list the tier-c branch cannot fail, making head ≡ full for failure
+    detection; the quarantine path never narrows the try-list)."""
     mode = rewrite_mode_expr(
         F.split(F.coalesce(F.col("mime"), F.lit("")), ";").getItem(0),
         F.col("resourcetype"),
@@ -125,13 +131,18 @@ def quarantined_records(
         if encoding_aliases is None
         else make_decode_error_udf(encoding_aliases)
     )
+    bytes_col = (
+        F.col("payload_head")
+        if "payload_head" in content_with_payload.columns
+        else F.col("payload")
+    )
     return (
         content_with_payload.filter(F.col("rec_type") == "response")
         .withColumn("stage", mode)
         .filter(F.col("stage").isNotNull())
         .withColumn(
             "reason",
-            err_udf(F.col("payload"), F.col("http_charset"), F.col("stage")),
+            err_udf(bytes_col, F.col("http_charset"), F.col("stage")),
         )
         .filter(F.col("reason").isNotNull())
         .select(

@@ -106,7 +106,9 @@ def with_effective_url(paired: DataFrame) -> DataFrame:
     )
 
 
-def content_records(records: DataFrame, *, with_payload: bool = False) -> DataFrame:
+def content_records(
+    records: DataFrame, *, with_payload: bool = False, with_head: bool = False
+) -> DataFrame:
     """P5/P6/P12 — the processable record stream: response/revisit rows with a
     non-empty HTTP(S) URL (converter.py:943-956), effective url + canonical
     ``zim_path`` attached. Filters are plain Catalyst predicates that push to
@@ -117,15 +119,27 @@ def content_records(records: DataFrame, *, with_payload: bool = False) -> DataFr
     a content stage asks for it — metadata stages must not even SCAN the
     bytes: reading 1.2M blobs just to measure their length was ~200 s of JVM
     GC per pass at bench scale, and ~100 TB of scan at production scale
-    (SURVEY §1.3: column pruning keeps payload out of non-content stages)."""
+    (SURVEY §1.3: column pruning keeps payload out of non-content stages).
+
+    ``with_head=True`` keeps (or derives) ``payload_head`` — the first-KiB
+    ingest column — WITHOUT the full payload: charset sniffing and the
+    failure probe read ~1 KiB/row instead of the whole corpus."""
     if "payload_len" in records.columns:
         with_len = records
     else:
         with_len = records.withColumn(
             "payload_len", F.coalesce(F.length("payload"), F.lit(0)).cast("long")
         )
+    if with_head and "payload_head" not in with_len.columns:
+        # source without the ingest column: derive (pays the payload scan —
+        # native ingest paths emit the column so this branch never runs there)
+        with_len = with_len.withColumn(
+            "payload_head", F.expr("substring(payload, 1, 1024)")
+        )
     if not with_payload:
         with_len = with_len.drop("payload")
+        if not with_head and "payload_head" in with_len.columns:
+            with_len = with_len.drop("payload_head")
     paired = with_effective_url(pair_requests(with_len))
     return (
         paired.filter(F.col("rec_type").isin("response", "revisit"))

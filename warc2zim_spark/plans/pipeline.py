@@ -108,8 +108,10 @@ def run_pipeline(
         quarantined_records,
     )
 
+    # head-only content stream: the probe reads the 1-KiB payload_head
+    # column, never the full payload bytes
     fails = quarantined_records(
-        content_records(records, with_payload=True),
+        content_records(records, with_head=True),
         encoding_aliases=encoding_aliases,
     ).cache()
     fails.write.mode("overwrite").parquet(str(out / "fails"))

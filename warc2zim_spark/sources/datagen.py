@@ -229,7 +229,8 @@ def generate_warc_records(pages: pa.Table, seed: int = SEED) -> pa.Table:
         for k in (
             "file_seq", "rec_seq", "rec_type", "url", "warc_date", "record_id",
             "concurrent_to", "status", "mime", "resourcetype", "http_location",
-            "refers_to_url", "payload", "payload_len", "payload_digest", "http_charset",
+            "refers_to_url", "payload", "payload_head", "payload_len",
+            "payload_digest", "http_charset",
             "req_method", "req_mime", "req_body", "req_content_length",
             "zim_path_g", "urlkey_g", "redirect_target_path_g",
             "refers_to_path_g",
@@ -271,6 +272,9 @@ def generate_warc_records(pages: pa.Table, seed: int = SEED) -> pa.Table:
         cols["http_location"].append(http_location)
         cols["refers_to_url"].append(refers_to_url)
         cols["payload"].append(payload)
+        # first KB as its own column: charset sniff / failure probe stages
+        # column-prune to this instead of scanning full payload bytes
+        cols["payload_head"].append((payload or b"")[:1024])
         cols["payload_len"].append(len(payload or b""))
         cols["payload_digest"].append(
             "sha256:" + hashlib.sha256(payload or b"").hexdigest()
@@ -512,6 +516,7 @@ def generate_warc_records(pages: pa.Table, seed: int = SEED) -> pa.Table:
             "http_location": pa.array(cols["http_location"], pa.string()),
             "refers_to_url": pa.array(cols["refers_to_url"], pa.string()),
             "payload": pa.array(cols["payload"], pa.binary()),
+            "payload_head": pa.array(cols["payload_head"], pa.binary()),
             "payload_len": pa.array(cols["payload_len"], pa.int64()),
             "payload_digest": pa.array(cols["payload_digest"], pa.string()),
             "http_charset": pa.array(cols["http_charset"], pa.string()),
@@ -1118,7 +1123,7 @@ def webdata_dir(sf_name: str, root: str = "/root/repo/webdata") -> Path:
 
 # bump when fixture CONTENT changes so cached webdata dirs regenerate
 # (goldens + oracles read the same regenerated parquet, so bumping is safe)
-FIXTURE_VERSION = "v4"
+FIXTURE_VERSION = "v5"
 
 
 def ensure_webdata(sf_name: str, root: str = "/root/repo/webdata") -> Path:

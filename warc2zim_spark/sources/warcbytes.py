@@ -43,7 +43,7 @@ PARSED_SCHEMA = (
     "file_seq long, rec_seq long, offset long, rec_type string, url string, "
     "warc_date timestamp, record_id string, concurrent_to string, "
     "status int, mime string, resourcetype string, http_location string, "
-    "refers_to_url string, payload binary, payload_len long, "
+    "refers_to_url string, payload binary, payload_head binary, payload_len long, "
     "payload_digest string, http_charset string, req_method string, "
     "req_mime string, req_body binary, req_content_length long"
 )
@@ -245,6 +245,7 @@ def parse_warc_bytes(data: bytes) -> Iterator[dict]:
             row["payload"] = block
             row["mime"] = ct or None
         payload = row.get("payload") or b""
+        row["payload_head"] = payload[:1024]  # sniff/probe column (1 KiB)
         row["payload_len"] = len(payload)
         row["payload_digest"] = "sha256:" + hashlib.sha256(payload).hexdigest()
         yield row
