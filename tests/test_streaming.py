@@ -125,3 +125,46 @@ class TestStreamItems:
         # and nothing got double-written
         paths_df = spark.read.parquet(str(out)).select("zim_path")
         assert paths_df.count() == paths_df.distinct().count()
+
+
+class TestHostBudgetGate:
+    """applyInPandasWithState politeness twin: cumulative per-host budgets
+    across micro-batches AND across restarts (state store checkpointing)."""
+
+    def _write_candidates(self, spark, path, rows):
+        spark.createDataFrame(
+            rows, "host string, surt_key string, hops int, score double"
+        ).coalesce(1).write.mode("append").parquet(path)
+
+    def test_budget_spans_batches_and_restarts(self, spark, tmp_path):
+        from warc2zim_spark.streaming.ratelimit import stream_host_gate
+
+        cand = str(tmp_path / "cand")
+        out = str(tmp_path / "gated")
+        ckpt = str(tmp_path / "ckpt")
+        # batch 1: host a has 2 candidates, host b has 1
+        self._write_candidates(spark, cand, [
+            ("a.example", "a.example/p1", 0, 1.0),
+            ("a.example", "a.example/p2", 1, 0.5),
+            ("b.example", "b.example/p1", 0, 1.0),
+        ])
+        n1 = stream_host_gate(spark, cand, out, ckpt, host_budget=3)
+        assert n1 >= 1
+        got1 = {(r.host, r.surt_key, r.fetch_seq)
+                for r in spark.read.parquet(out).collect()}
+        assert got1 == {
+            ("a.example", "a.example/p1", 1),
+            ("a.example", "a.example/p2", 2),
+            ("b.example", "b.example/p1", 1),
+        }
+        # RESTART with 3 more for host a: budget 3 means only ONE more slot,
+        # and priority order (hops asc, score desc, surt asc) picks p5
+        self._write_candidates(spark, cand, [
+            ("a.example", "a.example/p3", 2, 0.1),
+            ("a.example", "a.example/p4", 1, 0.2),
+            ("a.example", "a.example/p5", 1, 0.9),
+        ])
+        stream_host_gate(spark, cand, out, ckpt, host_budget=3)
+        got2 = {(r.host, r.surt_key, r.fetch_seq)
+                for r in spark.read.parquet(out).collect()}
+        assert got2 == got1 | {("a.example", "a.example/p5", 3)}
