@@ -2,6 +2,8 @@
 tests/test_utils.py:28-290 (content-declared / http-header / try-list tiers,
 alias table, error path)."""
 
+from pathlib import Path
+
 import pytest
 
 from warc2zim_spark.kernels.decode import (
@@ -211,3 +213,86 @@ class TestProbeDecodeFailureParity:
             b'<html><meta charset="bogus-enc"><body>x</body></html>',
             None, "html", aliases,
         ) is None
+
+
+class TestReferenceEncodingsCorpus:
+    """The reference's real-world encodings corpus
+    (tests/encodings/definition.json + 8 captured files, reference
+    tests/test_utils.py:280-291 `test_decode_files`), run against the
+    ENGINE's decode cascade by reading the reference's own data files in
+    place (read-only; nothing copied). Every expected string must survive
+    the 3-tier decode exactly as it does in the reference."""
+
+    CORPUS = Path("/root/reference/tests/encodings")
+
+    def _cases(self):
+        import json
+
+        data = json.loads((self.CORPUS / "definition.json").read_bytes())
+        for f in data["files"]:
+            yield (
+                f["filename"],
+                f.get("http_charset"),
+                f.get("expected_strings", []),
+            )
+
+    @pytest.mark.skipif(
+        not Path("/root/reference/tests/encodings/definition.json").exists(),
+        reason="reference corpus not present",
+    )
+    def test_decode_files(self):
+        from warc2zim_spark.kernels.decode import to_string
+
+        checked = 0
+        for filename, http_charset, expected in self._cases():
+            result = to_string(
+                (self.CORPUS / filename).read_bytes(),
+                http_charset,
+                ["UTF-8", "latin1"],
+                1024,
+            )
+            for s in expected:
+                assert s in result, (filename, s)
+                checked += 1
+        assert checked >= 10  # corpus actually exercised
+
+
+class TestHeaderBytesWindow:
+    """Reference tests/test_utils.py:293-365 — the content-declaration tier
+    only sees the first ``header_bytes`` bytes; declarations beyond the
+    window fall through to the try-list, and the per-run alias table
+    resolves (or fails to resolve) a declared nonsense charset."""
+
+    def test_too_far_away_without_fallback(self):
+        content = '<html><meta charset="latin1"><body>content</body></html>'
+        with pytest.raises(ValueError, match="No suitable charset"):
+            to_string(content.encode("latin1"), None, [], 24)
+
+    def test_too_far_away_with_fallback(self):
+        content = '<html><meta charset="latin1"><body>content</body></html>'
+        assert to_string(content.encode("latin1"), None, ["latin1"], 24) == content
+
+    def test_far_away_but_inside_window(self):
+        content = (
+            f'<html>{"".join("-" for _ in range(1024))}<meta charset="latin1">'
+            "<body>content</body></html>"
+        )
+        assert to_string(content.encode("latin1"), None, [], 1200) == content
+
+    def test_unknown_declared_charset_with_alias(self):
+        content = '<html><meta charset="foo"><body>content</body></html>'
+        assert (
+            to_string(
+                content.encode("latin1"), None, [], 1024,
+                extra_aliases={"foo": "latin1"},
+            )
+            == content
+        )
+
+    def test_unknown_declared_charset_without_proper_alias(self):
+        content = '<html><meta charset="foo"><body>content</body></html>'
+        with pytest.raises(LookupError, match="unknown encoding: foo"):
+            to_string(
+                content.encode("latin1"), None, [], 1024,
+                extra_aliases={"bar": "latin1"},
+            )

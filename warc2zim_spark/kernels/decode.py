@@ -101,7 +101,14 @@ def to_string(
             resolve_encoding_alias(http_encoding, extra_aliases), errors="replace"
         )
 
-    for charset in charsets_to_try or DEFAULT_CHARSETS_TO_TRY:
+    # None → engine default list; an EXPLICIT empty list means "no tier-c
+    # fallback" and must exhaust to the raise (reference utils.py:213-219
+    # iterates the caller's list verbatim — `or` would silently resurrect
+    # the defaults)
+    charsets = (
+        DEFAULT_CHARSETS_TO_TRY if charsets_to_try is None else charsets_to_try
+    )
+    for charset in charsets:
         try:
             return payload.decode(resolve_encoding_alias(charset, extra_aliases))
         except (ValueError, LookupError):
