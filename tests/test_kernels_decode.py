@@ -296,3 +296,51 @@ class TestHeaderBytesWindow:
                 content.encode("latin1"), None, [], 1024,
                 extra_aliases={"bar": "latin1"},
             )
+
+
+class TestAliasReferenceVerbatim:
+    """Reference tests/test_utils.py:368-404, ported verbatim — the full
+    builtin alias matrix incl. whitespace/case normalization, the unknown
+    passthrough, and the user override (the engine's per-run
+    ``extra_aliases`` is the reference's ``set_encoding_aliases``)."""
+
+    @pytest.mark.parametrize(
+        "alias,expected",
+        [
+            ("ansi", "windows-1252"),
+            ("65001", "utf-8"),
+            ("iso-utf-8", "utf-8"),
+            ("u", "utf-8"),
+            ("unicode", "utf-8"),
+            ("utf-8", "utf-8"),
+            ("utf-08", "utf-8"),
+            ("utf-f", "utf-8"),
+            ("utp-8", "utf-8"),
+            ("windows-8859-1", "iso-8859-1"),
+            ("iso88591", "iso-8859-1"),
+            ("   uNiCoDe    ", "utf-8"),
+            ("   U    ", "utf-8"),
+            ("UNICODE", "utf-8"),
+        ],
+    )
+    def test_default_encoding_aliases(self, alias, expected):
+        assert resolve_encoding_alias(alias) == expected
+
+    def test_get_unknown_encoding(self):
+        assert resolve_encoding_alias("unKnown") == "unknown"
+
+    @pytest.mark.parametrize("alias", ["Unicode", "unicode"])
+    def test_override_default_encoding_alias(self, alias):
+        assert resolve_encoding_alias(
+            alias, extra={"unicode": "latin1"}
+        ) == "latin1"
+
+    def test_weird_encoding_not_declared_not_in_try_list(self):
+        with pytest.raises(ValueError):
+            to_string("Latin1 contént".encode("latin1"), None, ["UTF-8"], 1024)
+
+    def test_weird_encoding_not_declared_in_try_list(self):
+        content = "Latin1 contént"
+        assert to_string(
+            content.encode("latin1"), None, ["UTF-8", "latin1"], 1024
+        ) == content
