@@ -1,0 +1,159 @@
+"""Engine parity over the REFERENCE'S OWN WARC files.
+
+The reference repo ships real browsertrix/warcio-written WARCs under
+tests/data (+ tests/data-special); its test_warc_to_zim.py pins which paths
+must (not) appear in the produced ZIM. These tests run the ENGINE'S full
+path — stdlib WARC-byte parser → pairing → canonicalization → gates →
+first-wins → redirect fixpoint — over those same files, read in place
+(copied to a tmp dir at test time only; nothing enters the repo), and
+assert the reference's own expectations:
+
+* http-return-codes.warc.gz — the full 11-exist / 23-ignored status matrix
+  (reference test_warc_to_zim.py:653-716; ZIM "items" there include
+  redirect entries, so existence = items ∪ kept-redirect sources)
+* bad-redirections.warc.gz — loops/dead targets dropped, the real page
+  kept (:718-751)
+* example-with-timestamp.warc — ?<epoch> cache-buster collapses
+  (:512-513)
+* self-redirect.warc — self-redirects produce no edge (:383-396)
+* example-revisit.warc.gz — same-url revisits make no alias; both real
+  pages become items (:150-158 skip rule, :37-44)
+* data-special/qsl.net-encoding-alias.warc.gz — the real-world mistyped
+  ``iso-8559-1`` charset fails decode EXACTLY as the reference found, and
+  the reference's own ``--encoding-aliases foo=bar,iso-8559-1=iso-8859-1,
+  fii=bor`` string rescues it (:780-800)
+"""
+
+import shutil
+from pathlib import Path
+
+import pytest
+
+REF_DATA = Path("/root/reference/tests/data")
+REF_SPECIAL = Path("/root/reference/tests/data-special")
+
+pytestmark = pytest.mark.skipif(
+    not REF_DATA.exists(), reason="reference WARC corpus not present"
+)
+
+
+def _content(spark, tmp_path, name, sub=REF_DATA, **kw):
+    from warc2zim_spark.operators.records import content_records
+    from warc2zim_spark.sources.warcbytes import load_warc_records
+
+    d = tmp_path / "warc"
+    d.mkdir(exist_ok=True)
+    shutil.copy(sub / name, d)
+    return content_records(load_warc_records(spark, str(d)), **kw)
+
+
+def _existing_paths(content):
+    """items ∪ kept-redirect sources — what 'exists' in the ZIM."""
+    from warc2zim_spark.operators.gather import expected_items
+    from warc2zim_spark.operators.items import items_table
+    from warc2zim_spark.operators.redirects import kept_redirects, redirect_edges
+
+    items = {r.zim_path for r in items_table(content).collect()}
+    kept = {
+        r.src_path
+        for r in kept_redirects(
+            redirect_edges(content), expected_items(content)
+        ).collect()
+    }
+    return items | kept
+
+
+HOST = "website.test.openzim.org"
+
+HTTP_CODES_EXIST = [
+    "200-response", "201-response", "202-response",
+    "301-internal-redirect-ok", "301-external-redirect-ok",
+    "302-internal-redirect-ok", "302-external-redirect-ok",
+    "307-internal-redirect-ok", "307-external-redirect-ok",
+    "308-internal-redirect-ok", "308-external-redirect-ok",
+]
+HTTP_CODES_IGNORED = [
+    "204-response", "206-response", "300-response", "303-response",
+    "304-response", "305-response", "306-response", "400-response",
+    "401-response", "402-response", "403-response", "404-response",
+    "500-response", "501-response", "502-response",
+    "301-internal-redirect-ko", "301-external-redirect-ko",
+    "302-internal-redirect-ko", "302-external-redirect-ko",
+    "307-internal-redirect-ko", "307-external-redirect-ko",
+    "308-internal-redirect-ko", "308-external-redirect-ko",
+]
+
+
+class TestReferenceWarcs:
+    def test_http_return_codes_matrix(self, spark, tmp_path):
+        content = _content(spark, tmp_path, "http-return-codes.warc.gz")
+        exist = _existing_paths(content)
+        for p in HTTP_CODES_EXIST:
+            assert f"{HOST}/{p}" in exist, p
+        for p in HTTP_CODES_IGNORED:
+            assert f"{HOST}/{p}" not in exist, p
+        assert "www.example.com/" in exist
+
+    def test_bad_redirections(self, spark, tmp_path):
+        content = _content(spark, tmp_path, "bad-redirections.warc.gz")
+        exist = _existing_paths(content)
+        assert f"{HOST}/bad-redirections.html" in exist
+        for p in (
+            "bad-redir-loop-A", "bad-redir-loop-B", "bad-redir-loop-C",
+            "bad-redir-loop-D", "bad-redir-target-A", "bad-redir-target-B",
+        ):
+            assert f"{HOST}/{p}" not in exist, p
+
+    def test_timestamp_cache_buster_collapses(self, spark, tmp_path):
+        from warc2zim_spark.operators.items import items_table
+
+        content = _content(spark, tmp_path, "example-with-timestamp.warc")
+        assert [r.zim_path for r in items_table(content).collect()] == [
+            "example.com/path.txt"
+        ]
+
+    def test_self_redirect_dropped(self, spark, tmp_path):
+        from warc2zim_spark.operators.items import items_table
+        from warc2zim_spark.operators.redirects import redirect_edges
+
+        content = _content(spark, tmp_path, "self-redirect.warc")
+        assert redirect_edges(content).count() == 0
+        assert sorted(
+            r.zim_path for r in items_table(content).collect()
+        ) == ["kiwix.org/"]
+
+    def test_revisit_same_url_no_alias(self, spark, tmp_path):
+        from warc2zim_spark.operators.items import items_table, revisit_aliases
+
+        content = _content(spark, tmp_path, "example-revisit.warc.gz")
+        items = items_table(content)
+        assert sorted(r.zim_path for r in items.collect()) == [
+            "example.com/", "example.iana.org/",
+        ]
+        assert revisit_aliases(content, items).count() == 0
+
+    def test_encoding_alias_rescue(self, spark, tmp_path):
+        """The flag's origin story, reproduced on the reference's own
+        capture: www.qsl.net declares the typo charset ``iso-8559-1``."""
+        from warc2zim_spark.operators.items import items_table
+        from warc2zim_spark.operators.quarantine import quarantined_records
+
+        content = _content(
+            spark, tmp_path, "qsl.net-encoding-alias.warc.gz",
+            sub=REF_SPECIAL, with_head=True,
+        )
+        fails = quarantined_records(content).collect()
+        assert [(r.zim_path, r.reason) for r in fails] == [
+            (
+                "www.qsl.net/vk2jem/swlogs.htm",
+                "LookupError: unknown encoding: iso-8559-1",
+            )
+        ]
+        # the reference's exact --encoding-aliases string
+        aliases = dict(
+            p.split("=") for p in "foo=bar,iso-8559-1=iso-8859-1,fii=bor".split(",")
+        )
+        assert quarantined_records(content, encoding_aliases=aliases).count() == 0
+        assert "www.qsl.net/vk2jem/swlogs.htm" in {
+            r.zim_path for r in items_table(content).collect()
+        }
