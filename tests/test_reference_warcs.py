@@ -157,3 +157,61 @@ class TestReferenceWarcs:
         assert "www.qsl.net/vk2jem/swlogs.htm" in {
             r.zim_path for r in items_table(content).collect()
         }
+
+
+class TestPipelineOverReferenceWarcs:
+    """run_pipeline pointed at a directory of the reference's raw WARC
+    files (the reference CLI's own input shape; load_records auto-detects
+    it). Abort parity: reference test_warc_to_zim.py:536-574 returns exit
+    code 4 for a --url that is absent or unprocessable."""
+
+    def _warcdir(self, tmp_path, name, sub=REF_DATA):
+        d = tmp_path / "warcs"
+        d.mkdir(exist_ok=True)
+        shutil.copy(sub / name, d)
+        return str(d)
+
+    def test_pipeline_end_to_end_on_example_response(self, spark, tmp_path):
+        from warc2zim_spark.plans.pipeline import run_pipeline
+
+        out = tmp_path / "out"
+        metrics = run_pipeline(
+            spark,
+            self._warcdir(tmp_path, "example-response.warc"),
+            str(out),
+            name="ref-example",
+        )
+        assert metrics["items"] >= 1
+        assert metrics["failed_records"] == 0
+        meta = {
+            r.name: r.value
+            for r in spark.read.parquet(str(out / "metadata")).collect()
+        }
+        assert meta["Main-Path"] == "example.com/"
+
+    def test_missing_user_url_aborts(self, spark, tmp_path):
+        """ref :536-553 — -u https://no-such-url.example.com → exit 4."""
+        from warc2zim_spark.plans.pipeline import run_pipeline
+
+        with pytest.raises(ValueError, match="Unable to find main page"):
+            run_pipeline(
+                spark,
+                self._warcdir(tmp_path, "example-response.warc"),
+                str(tmp_path / "out_missing"),
+                name="bad",
+                main_url="https://no-such-url.example.com",
+            )
+
+    def test_unprocessable_main_page_aborts(self, spark, tmp_path):
+        """ref :555-574 — the Doug page answers 403 (not an expected item)
+        → exit 4, no output."""
+        from warc2zim_spark.plans.pipeline import run_pipeline
+
+        with pytest.raises(ValueError, match="Unable to find main page"):
+            run_pipeline(
+                spark,
+                self._warcdir(tmp_path, "main-entry-403.warc.gz"),
+                str(tmp_path / "out_403"),
+                name="bad",
+                main_url="https://wikizilla.org/wiki/Doug",
+            )

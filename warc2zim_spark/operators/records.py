@@ -24,8 +24,25 @@ ORDER_COLS = ["file_seq", "rec_seq"]  # W1 total order (converter.py:210-216)
 
 
 def load_records(spark: SparkSession, webdata_dir: str) -> DataFrame:
-    """S1/S3 — the record table scan. At scale this is an Iceberg/Parquet
-    table partitioned by file_seq range; here a single parquet file."""
+    """S1/S3 — the record source. Accepts either layout:
+
+    * a webdata dir holding a ``warc_records.parquet`` record table (the
+      Iceberg/Parquet shape — at scale, partitioned by file_seq range), or
+    * a directory of raw ``.warc`` / ``.warc.gz`` files — the reference's
+      own input shape (main.py positional args), parsed by the stdlib
+      byte parser one task per file.
+
+    The check is a local-path probe; a production deployment points the
+    pipeline at catalog tables and never hits the WARC branch."""
+    from pathlib import Path
+
+    p = Path(webdata_dir)
+    if not (p / "warc_records.parquet").exists() and (
+        any(p.glob("*.warc")) or any(p.glob("*.warc.gz"))
+    ):
+        from warc2zim_spark.sources.warcbytes import load_warc_records
+
+        return load_warc_records(spark, webdata_dir)
     return spark.read.parquet(f"{webdata_dir}/warc_records.parquet")
 
 
