@@ -215,3 +215,65 @@ class TestPipelineOverReferenceWarcs:
                 name="bad",
                 main_url="https://wikizilla.org/wiki/Doug",
             )
+
+
+class TestContentResourceTypes:
+    """content-resource-types.warc.gz (reference :753-778): the C1
+    classifier on real browsertrix records — resource-type overrides the
+    mime table (style2.css declares mime 'idontexist' but resourcetype
+    stylesheet → css; image2.png declares text/html but resourcetype image
+    → passthrough), scripts get the javascript mode, media/pdf/manifest
+    pass through unrewritten."""
+
+    EXPECTED_MODES = {
+        "website.test.openzim.org/content-types/content1.json": "json",
+        "website.test.openzim.org/content-types/content2.json": "json",
+        "website.test.openzim.org/content-types/index.html": "html",
+        "website.test.openzim.org/content-types/script1.js": "javascript",
+        "website.test.openzim.org/content-types/script2.js": "javascript",
+        "website.test.openzim.org/content-types/style1.css": "css",
+        "website.test.openzim.org/content-types/style2.css": "css",
+        "website.test.openzim.org/content-types/image1.png": None,
+        "website.test.openzim.org/content-types/image2.png": None,
+        "website.test.openzim.org/content-types/small.pdf": None,
+        "website.test.openzim.org/icons/favicon.ico": None,
+        "website.test.openzim.org/icons/site.webmanifest": None,
+    }
+
+    def test_rewrite_modes(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from warc2zim_spark.functions.expressions import rewrite_mode_expr
+
+        content = _content(spark, tmp_path, "content-resource-types.warc.gz")
+        mode = rewrite_mode_expr(
+            F.split(F.coalesce(F.col("mime"), F.lit("")), ";").getItem(0),
+            F.col("resourcetype"),
+            F.col("zim_path"),
+            F.col("p_method"),
+        )
+        got = {
+            r.zim_path: r.mode
+            for r in content.filter(F.col("rec_type") == "response")
+            .select("zim_path", mode.alias("mode"))
+            .collect()
+        }
+        assert got == self.EXPECTED_MODES
+
+
+class TestSinglePageIncludeDomains:
+    """single-page-test.warc with -i reseau-canope.fr (reference :398-418):
+    every produced item stays inside the domain (subdomains included) and
+    the real landing page is among them."""
+
+    def test_domain_gate(self, spark, tmp_path):
+        from warc2zim_spark.operators.items import items_table
+
+        content = _content(spark, tmp_path, "single-page-test.warc")
+        paths = sorted(
+            r.zim_path
+            for r in items_table(content, ["reseau-canope.fr"]).collect()
+        )
+        assert paths  # the gate keeps the in-domain pages
+        assert "lesfondamentaux.reseau-canope.fr/accueil.html" in paths
+        assert all("reseau-canope.fr/" in p for p in paths)
