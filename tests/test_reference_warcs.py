@@ -277,3 +277,59 @@ class TestSinglePageIncludeDomains:
         assert paths  # the gate keeps the in-domain pages
         assert "lesfondamentaux.reseau-canope.fr/accueil.html" in paths
         assert all("reseau-canope.fr/" in p for p in paths)
+
+
+class TestVerifyInvariant:
+    """The reference's universal ZIM↔WARC invariant (verify_warc_and_zim,
+    test_warc_to_zim.py:139-230), applied to the same four captures its
+    ``cmdline`` fixture applies it to: every status-200 non-empty response
+    record's canonical path must exist as an item; revisits to a DIFFERENT
+    url resolve through an alias or an item of their own; zero-length
+    bodies never become items."""
+
+    FILES = [
+        "example-response.warc",
+        "example-revisit.warc.gz",
+        "example-utf8.warc",
+        "single-page-test.warc",
+    ]
+
+    @pytest.mark.parametrize("name", FILES)
+    def test_every_200_response_is_an_item(self, spark, tmp_path, name):
+        from pyspark.sql import functions as F
+
+        from warc2zim_spark.operators.items import items_table, revisit_aliases
+
+        content = _content(spark, tmp_path, name)
+        items_df = items_table(content)
+        items = {r.zim_path for r in items_df.collect()}
+        resp_paths = {
+            r.zim_path
+            for r in content.filter(
+                (F.col("rec_type") == "response")
+                & (F.col("status") == 200)
+                & (F.col("payload_len") > 0)
+            ).select("zim_path").distinct().collect()
+        }
+        assert resp_paths <= items
+        # zero-length bodies never become items (converter.py:1011-1022)
+        empty = {
+            r.zim_path
+            for r in content.filter(
+                (F.col("rec_type") == "response") & (F.col("payload_len") == 0)
+            ).select("zim_path").distinct().collect()
+        }
+        assert not (empty - resp_paths) & items
+        # revisits to a different url: alias or own item
+        revisit_paths = {
+            r.zim_path
+            for r in content.filter(
+                (F.col("rec_type") == "revisit")
+                & F.col("refers_to_url").isNotNull()
+                & (F.col("refers_to_url") != F.col("url"))
+            ).select("zim_path").distinct().collect()
+        }
+        aliases = {
+            r.alias_path for r in revisit_aliases(content, items_df).collect()
+        }
+        assert revisit_paths <= (aliases | items)
