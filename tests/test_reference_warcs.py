@@ -333,3 +333,36 @@ class TestVerifyInvariant:
             r.alias_path for r in revisit_aliases(content, items_df).collect()
         }
         assert revisit_paths <= (aliases | items)
+
+
+class TestSolidaritenumPipeline:
+    """Full pipeline over the reference's 190-record real-world French
+    capture (its custom-css test file, :595-650 + the encodings corpus
+    source): the language cascade must land on ``fra`` from the page's own
+    declaration, the title comes from the main page's <title>, custom.css
+    joins the item sink, and nothing quarantines."""
+
+    def test_end_to_end(self, spark, tmp_path):
+        from warc2zim_spark.plans.pipeline import run_pipeline
+
+        d = tmp_path / "warcs"
+        d.mkdir()
+        shutil.copy(REF_DATA / "solidaritenum.warc.gz", d)
+        out = tmp_path / "out"
+        metrics = run_pipeline(
+            spark, str(d), str(out), name="solidarite",
+            custom_css=b"* { background: red }",
+        )
+        assert metrics["failed_records"] == 0
+        assert metrics["items"] > 50
+        meta = {
+            r.name: r.value
+            for r in spark.read.parquet(str(out / "metadata")).collect()
+        }
+        assert meta["Language"] == "fra"
+        assert meta["Title"].startswith("Comprendre les cookies")
+        assert meta["Main-Path"].startswith("www.solidarite-numerique.fr/")
+        items = {
+            r.zim_path for r in spark.read.parquet(str(out / "items")).collect()
+        }
+        assert "_zim_static/custom.css" in items
