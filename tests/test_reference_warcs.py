@@ -366,3 +366,31 @@ class TestSolidaritenumPipeline:
             r.zim_path for r in spark.read.parquet(str(out / "items")).collect()
         }
         assert "_zim_static/custom.css" in items
+
+
+class TestKiwixRedirectChain:
+    """kiwix-with-redirects.warc.gz: the two-hop www.kiwix.org/ →
+    www.kiwix.org/en/ → kiwix.org/en/ chain. Both hops stay in the
+    redirect table (the reference adds intermediate redirect entries too),
+    and every redirect's target exists in the ZIM — as an item or as
+    another kept redirect (a dangling target would 404 inside the ZIM)."""
+
+    def test_chain_kept_and_targets_exist(self, spark, tmp_path):
+        from warc2zim_spark.operators.gather import expected_items
+        from warc2zim_spark.operators.redirects import (
+            kept_redirects,
+            redirect_edges,
+        )
+
+        content = _content(spark, tmp_path, "kiwix-with-redirects.warc.gz")
+        kept = kept_redirects(
+            redirect_edges(content), expected_items(content)
+        ).collect()
+        got = {(r.src_path, r.tgt_path) for r in kept}
+        assert got == {
+            ("www.kiwix.org/", "www.kiwix.org/en/"),
+            ("www.kiwix.org/en/", "kiwix.org/en/"),
+        }
+        expected = {r.zim_path for r in expected_items(content).collect()}
+        kept_sources = {r.src_path for r in kept}
+        assert all(t in expected | kept_sources for _, t in got)
