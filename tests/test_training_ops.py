@@ -228,3 +228,58 @@ class TestDuplicateClusters:
 
         pairs = spark.createDataFrame([], "id_a long, id_b long")
         assert duplicate_clusters(pairs).count() == 0
+
+
+class TestStratifiedSampling:
+    def test_exact_counts_and_determinism(self, spark):
+        from warc2zim_spark.operators.sampling import stratified_sample_exact
+
+        docs = spark.createDataFrame(
+            [(i, ["en", "fr", "de"][i % 3] if i < 60 else "zh") for i in range(62)],
+            "doc_id long, lang string",
+        )  # en/fr/de: 20 each; zh: 2 (under quota)
+        s1 = stratified_sample_exact(docs, "lang", 5, "doc_id", seed=7)
+        s2 = stratified_sample_exact(docs, "lang", 5, "doc_id", seed=7)
+        got1 = sorted((r.lang, r.doc_id) for r in s1.collect())
+        got2 = sorted((r.lang, r.doc_id) for r in s2.collect())
+        assert got1 == got2  # seed-deterministic
+        from collections import Counter
+
+        counts = Counter(lang for lang, _ in got1)
+        assert counts == {"en": 5, "fr": 5, "de": 5, "zh": 2}
+        # different seed → different selection (overwhelmingly likely)
+        s3 = stratified_sample_exact(docs, "lang", 5, "doc_id", seed=8)
+        assert sorted((r.lang, r.doc_id) for r in s3.collect()) != got1
+
+    def test_parallelism_invariance(self, spark):
+        from warc2zim_spark.operators.sampling import stratified_sample_exact
+
+        docs = spark.range(500).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 4).cast("string").alias("lang"),
+        )
+        a = stratified_sample_exact(docs.repartition(1), "lang", 10, "doc_id")
+        b = stratified_sample_exact(docs.repartition(13), "lang", 10, "doc_id")
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    def test_prefilter_identical_when_sized(self, spark):
+        from warc2zim_spark.operators.sampling import stratified_sample_exact
+
+        docs = spark.range(2000).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 2).cast("string").alias("lang"),
+        )
+        full = stratified_sample_exact(docs, "lang", 20, "doc_id", seed=3)
+        two_phase = stratified_sample_exact(
+            docs, "lang", 20, "doc_id", seed=3, prefilter_fraction=0.2
+        )
+        assert sorted(map(tuple, full.collect())) == sorted(
+            map(tuple, two_phase.collect())
+        )
+
+    def test_fraction_prefilter_rate(self, spark):
+        from warc2zim_spark.operators.sampling import approx_fraction_prefilter
+
+        docs = spark.range(20_000).select(F.col("id").alias("doc_id"))
+        n = approx_fraction_prefilter(docs, "doc_id", 0.25).count()
+        assert 0.22 * 20_000 < n < 0.28 * 20_000
