@@ -283,3 +283,80 @@ class TestStratifiedSampling:
         docs = spark.range(20_000).select(F.col("id").alias("doc_id"))
         n = approx_fraction_prefilter(docs, "doc_id", 0.25).count()
         assert 0.22 * 20_000 < n < 0.28 * 20_000
+
+
+class TestAnnPlanScale:
+    """r03 verdict #1: ANN parameters must ship as broadcast data, not
+    per-coefficient Catalyst literals — the analyzed-plan size must be
+    independent of embedding dim and table count, or production dims
+    (768-4096) hit analyzer cost and the 64KB codegen limit."""
+
+    @staticmethod
+    def _corpus(spark, dim, n=32):
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        rows = [(i, rng.randn(dim).astype(float).tolist()) for i in range(n)]
+        return spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+    def test_lsh_plan_size_constant_in_dim(self, spark):
+        from warc2zim_spark.operators.similarity import lsh_topk
+
+        sizes = {}
+        for dim in (64, 768):
+            corpus = self._corpus(spark, dim)
+            queries = corpus.filter(F.col("vec_id") < 4)
+            plan = lsh_topk(
+                corpus, queries, k=5, n_planes=5, n_tables=10, dim=dim
+            )._jdf.queryExecution().analyzed().toString()
+            sizes[dim] = len(plan)
+        # literal-coefficient plans grew ~linearly in dim (12x here);
+        # broadcast-tensor plans differ only in incidental name lengths.
+        assert sizes[768] < 1.2 * sizes[64], sizes
+
+    def test_lsh_results_unchanged_by_refactor(self, spark, emb):
+        """The broadcast-tensor signature path must equal the literal
+        expression path bit-for-bit on real fixture embeddings."""
+        import numpy as np
+
+        from warc2zim_spark.operators.similarity import (
+            _hyperplanes,
+            _signatures_udf,
+            as_double,
+            lsh_signature_col,
+        )
+
+        dim = 64
+        tables = np.stack([_hyperplanes(dim, 5, 42 + 1000 * t) for t in range(3)])
+        sig_udf = _signatures_udf(spark, tables)
+        df = emb.limit(200).select(
+            "vec_id", as_double(F.col("embedding")).alias("_dvec")
+        )
+        got = {
+            r.vec_id: r.sigs
+            for r in df.select("vec_id", sig_udf(F.col("_dvec")).alias("sigs")).collect()
+        }
+        want = {
+            r.vec_id: [r.s0, r.s1, r.s2]
+            for r in df.select(
+                "vec_id",
+                *[
+                    lsh_signature_col(F.col("_dvec"), tables[t].tolist()).alias(f"s{t}")
+                    for t in range(3)
+                ],
+            ).collect()
+        }
+        assert got == want
+
+    def test_ivf_plan_size_constant_in_dim_and_lists(self, spark):
+        from warc2zim_spark.operators.similarity import ivf_topk
+
+        sizes = {}
+        for dim, n_lists in ((16, 4), (256, 16)):
+            corpus = self._corpus(spark, dim, n=64)
+            queries = corpus.filter(F.col("vec_id") < 4)
+            plan = ivf_topk(
+                corpus, queries, k=5, n_lists=n_lists, n_probe=2
+            )._jdf.queryExecution().analyzed().toString()
+            sizes[(dim, n_lists)] = len(plan)
+        assert sizes[(256, 16)] < 1.2 * sizes[(16, 4)], sizes
