@@ -196,3 +196,20 @@ class TestRound3FuzzyRules:
         assert canonicalize(
             "https://api.example.com/data.json?_=abc"
         ) == "api.example.com/data.json?_=abc"
+
+    def test_literal_ampersand_in_path_survives(self):
+        """advisor r03: a percent-decoded '&' in the PATH must not be
+        promoted to '?' when the whole query is a stripped cache-buster —
+        that would collide distinct URLs onto one key."""
+        from warc2zim_spark.kernels.surt import canonicalize
+
+        assert canonicalize(
+            "https://example.com/foo%26bar?_=12345"
+        ) == "example.com/foo&bar"
+        assert canonicalize(
+            "https://example.com/foo%26bar?_=12345&q=1"
+        ) == "example.com/foo&bar?q=1"
+        # and a no-query key with a path '&' is untouched entirely
+        assert canonicalize(
+            "https://example.com/a%26b"
+        ) == "example.com/a&b"

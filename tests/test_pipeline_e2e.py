@@ -207,3 +207,48 @@ class TestRunPipeline:
         pq.write_table(table, d / "warc_records.parquet")
         with pytest.raises(ValueError, match="main path"):
             run_pipeline(spark, str(d), str(tmp_path / "out"), name="n")
+
+
+class TestFailedWinnerFallback:
+    """advisor r03: --continue-on-error skips exactly the failing RECORD.
+    When the first-wins winner for a path fails decode, the next duplicate
+    record for the same path (never marked indexed in the reference loop)
+    must become the item — the path is not dropped."""
+
+    def test_next_duplicate_wins_when_winner_fails(self, spark):
+        from pyspark.sql import functions as F
+
+        from warc2zim_spark.operators.items import items_table
+        from warc2zim_spark.operators.quarantine import (
+            exclude_failed_records,
+            quarantined_records,
+        )
+
+        rows = [
+            # winner: bogus charset -> quarantined
+            (1, 1, "response", "dup.example/page", "https://dup.example/page",
+             "text/html; charset=bogus-enc", None, "GET", 200, 20,
+             b"<html>bad</html>", "bogus-enc"),
+            # later duplicate: clean utf-8 -> must become the item
+            (1, 2, "response", "dup.example/page", "https://dup.example/page",
+             "text/html", None, "GET", 200, 21,
+             b"<html>good</html>", None),
+            # unrelated clean record
+            (1, 3, "response", "dup.example/other", "https://dup.example/other",
+             "text/html", None, "GET", 200, 22,
+             b"<html>other</html>", None),
+        ]
+        content = spark.createDataFrame(
+            rows,
+            "file_seq int, rec_seq int, rec_type string, zim_path string, "
+            "effective_url string, mime string, resourcetype string, "
+            "p_method string, status int, payload_len long, "
+            "payload binary, http_charset string",
+        )
+        fails = quarantined_records(content)
+        assert {(r.zim_path, r.rec_seq) for r in fails.collect()} == {
+            ("dup.example/page", 1)
+        }
+        items = items_table(exclude_failed_records(content, fails))
+        got = {r.zim_path: r.rec_seq for r in items.collect()}
+        assert got == {"dup.example/page": 2, "dup.example/other": 3}

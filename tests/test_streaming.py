@@ -168,3 +168,28 @@ class TestHostBudgetGate:
         got2 = {(r.host, r.surt_key, r.fetch_seq)
                 for r in spark.read.parquet(out).collect()}
         assert got2 == got1 | {("a.example", "a.example/p5", 3)}
+
+    def test_slot_claim_is_chunk_boundary_independent(self, spark, tmp_path):
+        """applyInPandasWithState can split one host's micro-batch into
+        multiple Arrow chunks; slot claiming must rank the WHOLE group, not
+        each chunk (advisor r03). Force tiny chunks and plant the
+        highest-priority candidates late in insertion order: a per-chunk
+        sort would hand slots to early low-priority rows."""
+        from warc2zim_spark.streaming.ratelimit import stream_host_gate
+
+        cand = str(tmp_path / "cand_chunks")
+        out = str(tmp_path / "gated_chunks")
+        ckpt = str(tmp_path / "ckpt_chunks")
+        # insertion order: 40 low-priority rows first, then 5 high-priority
+        rows = [("h.example", f"h.example/low{i:03d}", 5, 0.0) for i in range(40)]
+        rows += [("h.example", f"h.example/top{i}", 0, 9.0) for i in range(5)]
+        self._write_candidates(spark, cand, rows)
+        old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "8")
+        try:
+            stream_host_gate(spark, cand, out, ckpt, host_budget=5)
+        finally:
+            if old is not None:
+                spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+        got = {(r.surt_key, r.fetch_seq) for r in spark.read.parquet(out).collect()}
+        assert got == {(f"h.example/top{i}", i + 1) for i in range(5)}

@@ -229,6 +229,44 @@ class TestDuplicateClusters:
         pairs = spark.createDataFrame([], "id_a long, id_b long")
         assert duplicate_clusters(pairs).count() == 0
 
+    def test_star_equals_label_prop_on_cliqueish_graph(self, spark):
+        """large-star/small-star must assign the identical (doc, cluster)
+        labels label propagation assigns on similarity-join-shaped input."""
+        from warc2zim_spark.operators.dedup import duplicate_clusters
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (7, 8), (10, 11), (11, 10), (20, 4)],
+            "id_a long, id_b long",
+        )
+        lp = {(r.doc_id, r.cluster_id)
+              for r in duplicate_clusters(pairs).collect()}
+        star = {(r.doc_id, r.cluster_id)
+                for r in duplicate_clusters(pairs, method="star").collect()}
+        assert star == lp
+
+    def test_star_collapses_adversarial_chain(self, spark):
+        """A 3000-node path graph (diameter 2999): label propagation's
+        O(diameter) rounds can NEVER finish in 25 — it must now raise
+        instead of silently splitting the component (advisor r03) — while
+        the star rewrite converges in O(log n) rounds to one cluster."""
+        import pytest as _pytest
+
+        from warc2zim_spark.operators.dedup import duplicate_clusters
+
+        n = 3000
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+        ).coalesce(4)
+        got = duplicate_clusters(chain, method="star")
+        assert got.select("cluster_id").distinct().collect()[0][0] == 0
+        assert got.count() == n
+        # label prop on a 60-chain with a 5-round budget: loud failure
+        small_chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(60)], "id_a long, id_b long"
+        )
+        with _pytest.raises(RuntimeError, match="did not converge"):
+            duplicate_clusters(small_chain, max_iter=5)
+
 
 class TestStratifiedSampling:
     def test_exact_counts_and_determinism(self, spark):

@@ -97,11 +97,19 @@ _CACHE_PARAM_RE = re.compile(r"[?&](?:_|cb|uncache)=\d+(?=&|$)")
 
 
 def _strip_cache_params(key: str) -> str:
-    new = _CACHE_PARAM_RE.sub("", key)
-    if new != key and "?" not in new and "&" in new:
+    # Operate on the query substring only: a literal '&' in the PATH (from
+    # percent-decoding, e.g. /foo%26bar) must never be promoted to '?' when
+    # the whole query turns out to be a stripped cache-buster (advisor r03).
+    head, sep, query = key.partition("?")
+    if not sep:
+        return key
+    new_q = _CACHE_PARAM_RE.sub("", "?" + query)
+    if not new_q:
+        return head
+    if new_q.startswith("&"):
         # removed the leading `?p=..`: promote the next separator
-        new = new.replace("&", "?", 1)
-    return new
+        new_q = "?" + new_q[1:]
+    return head + new_q
 
 
 def canonicalize(url: str | None) -> str | None:

@@ -255,11 +255,95 @@ def digest_duplicates(records: DataFrame) -> DataFrame:
     )
 
 
+def _star_neighborhood_min(edges_sym: DataFrame) -> DataFrame:
+    """Per node u (column ``a``): m = min(Γ(u) ∪ {u})."""
+    return edges_sym.groupBy("a").agg(
+        F.least(F.min("b"), F.first("a")).alias("m")
+    )
+
+
+def _symmetrize(canon: DataFrame) -> DataFrame:
+    return canon.unionByName(
+        canon.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+
+
+def _large_star(edges_sym: DataFrame) -> DataFrame:
+    """Kiveris large-star: each node u links every strictly-larger neighbor
+    v to m(u). Output canonical (a > b) since v > u >= m."""
+    m = _star_neighborhood_min(edges_sym)
+    return (
+        edges_sym.filter(F.col("b") > F.col("a"))
+        .join(m, "a")
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .distinct()
+    )
+
+
+def _small_star(edges_sym: DataFrame) -> DataFrame:
+    """Kiveris small-star: each node u links its <=u neighbors AND itself to
+    m(u), dropping the self-loop (m, m)."""
+    m = _star_neighborhood_min(edges_sym)
+    small_nbrs = (
+        edges_sym.filter(F.col("b") <= F.col("a"))
+        .join(m, "a")
+        .select(F.col("b").alias("v"), "m")
+    )
+    self_rows = m.select(F.col("a").alias("v"), "m")
+    return (
+        small_nbrs.unionByName(self_rows)
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        .distinct()
+    )
+
+
+def _star_components(canon: DataFrame, max_iter: int) -> DataFrame:
+    """Connected components via alternating large-star/small-star (Kiveris
+    et al., "Connected Components in MapReduce and Beyond") — O(log n)
+    rounds on ANY graph shape, including the long chains that defeat
+    O(diameter) label propagation. Each phase is one groupBy-min plus one
+    equi-join on node id; convergence = canonical edge set unchanged."""
+    canon = canon.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        after_large = _large_star(_symmetrize(canon))
+        new_canon = _small_star(_symmetrize(after_large)).localCheckpoint(
+            eager=True
+        )
+        changed = (
+            new_canon.exceptAll(canon)
+            .unionByName(canon.exceptAll(new_canon))
+            .limit(1)
+            .count()
+        )
+        canon = new_canon
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"star components did not converge in {max_iter} rounds "
+            f"(theoretical bound is O(log n) — this indicates a bug or an "
+            f"adversarial input far beyond the round budget)"
+        )
+    # converged: canonical edges are (node, component_min) stars
+    labels = canon.groupBy("a").agg(F.min("b").alias("label"))
+    minima = (
+        canon.select(F.col("b").alias("a"))
+        .distinct()
+        .join(labels, "a", "left_anti")
+        .withColumn("label", F.col("a"))
+    )
+    return labels.unionByName(minima).select(
+        F.col("a").alias("id"), "label"
+    )
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    method: str = "label_prop",
 ) -> DataFrame:
     """Connected components over near-duplicate PAIRS → (doc_id,
     cluster_id), cluster_id = min doc id in the component — the step a
@@ -273,14 +357,37 @@ def duplicate_clusters(
     join, which is naturally clique-ish), so the loop ends after 2-3 rounds
     with an early-exit check; each round is one shuffle on node id plus a
     min-aggregate, with ``localCheckpoint`` truncating lineage exactly like
-    the crawl loop. For adversarial long-chain graphs at 10^10 edges the
-    same loop structure accepts the large-star/small-star rewrite
-    (Kiveris et al., "Connected Components in MapReduce") — the per-round
-    plan is unchanged, only the edge transformation differs.
+    the crawl loop. If the loop exhausts ``max_iter`` without converging
+    (diameter > max_iter — an adversarial chain, not a similarity join) it
+    RAISES rather than silently returning split clusters (advisor r03).
+
+    ``method="star"`` switches to the alternating large-star/small-star
+    rewrite (Kiveris et al.) — O(log n) rounds on any graph shape, the right
+    tool for adversarial long-chain graphs at 10^10 edges; pinned equal to
+    label propagation on clique-ish inputs and exercised on a chain fixture
+    label propagation provably cannot finish.
 
     Only documents that appear in at least one pair are returned
     (singletons are their own cluster trivially and would dominate the
     output at corpus scale)."""
+    if method == "star":
+        canon = (
+            pairs.select(
+                F.greatest(
+                    F.col(id_a).cast("long"), F.col(id_b).cast("long")
+                ).alias("a"),
+                F.least(
+                    F.col(id_a).cast("long"), F.col(id_b).cast("long")
+                ).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        return _star_components(canon, max_iter).select(
+            F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+        )
+    if method != "label_prop":
+        raise ValueError(f"unknown method {method!r}: label_prop | star")
     edges = pairs.select(
         F.col(id_a).cast("long").alias("a"), F.col(id_b).cast("long").alias("b")
     )
@@ -315,6 +422,13 @@ def duplicate_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"duplicate_clusters(label_prop) did not converge in {max_iter} "
+            f"rounds — component diameter exceeds the round budget, labels "
+            f"would be silently WRONG (split clusters). Use method='star' "
+            f"(O(log n) rounds) for long-chain graphs."
+        )
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -156,11 +156,27 @@ def quarantined_records(
     )
 
 
+def exclude_failed_records(content: DataFrame, fails: DataFrame) -> DataFrame:
+    """Drop exactly the failing RECORDS from the content stream, BEFORE
+    first-wins dedup — the reference's --continue-on-error skips only the
+    failing record (converter.py:411-437): a later duplicate record for the
+    same path was never marked indexed, so it gets processed and becomes the
+    item. Record-keyed on (file_seq, rec_seq); the fails frame is tiny
+    relative to content, so the anti-join broadcasts."""
+    return content.join(
+        fails.select("file_seq", "rec_seq"),
+        ["file_seq", "rec_seq"],
+        "left_anti",
+    )
+
+
 def items_excluding_fails(items: DataFrame, fails: DataFrame) -> DataFrame:
-    """Drop items whose WINNING record is quarantined (the reference skips
-    exactly the failing record: a path whose first-wins winner failed never
-    reaches the ZIM; a different path's failure doesn't touch it). Keyed on
-    (zim_path, file_seq, rec_seq) so only the winner's failure excludes."""
+    """Coarser post-dedup form: drop items whose WINNING record is
+    quarantined. NOTE this drops the zim_path entirely even when a later
+    duplicate record for the path would have decoded cleanly — the pipeline
+    uses :func:`exclude_failed_records` (pre-dedup, record-level) instead,
+    which matches the reference's skip-one-record loop (advisor r03).
+    Retained for callers that only have the post-dedup item table."""
     return items.join(
         fails.select("zim_path", "file_seq", "rec_seq"),
         ["zim_path", "file_seq", "rec_seq"],

@@ -104,7 +104,7 @@ def run_pipeline(
     # S10: per-record failure isolation — capture fails BEFORE the item sink
     # so the policy (abort vs skip-record) can act on them
     from warc2zim_spark.operators.quarantine import (
-        items_excluding_fails,
+        exclude_failed_records,
         quarantined_records,
     )
 
@@ -125,10 +125,10 @@ def run_pipeline(
         )
 
     # ---- pass 2: execute -------------------------------------------------
-    items = items_table(content, include_domains)
-    if n_fails:
-        items = items_excluding_fails(items, fails)
-    items = items.cache()
+    # record-level exclusion BEFORE first-wins: a failing winner falls back
+    # to the next record for the same path, like the reference's skip loop
+    item_source = exclude_failed_records(content, fails) if n_fails else content
+    items = items_table(item_source, include_domains).cache()
     aliases = revisit_aliases(content, items)
 
     # S8: static assets union into the item sink (converter.py:396-409)

@@ -56,24 +56,29 @@ def host_budget_gate(
     def gate(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        (host,) = key
         used = state.get[0] if state.exists else 0
-        for pdf in pdfs:
-            if used >= host_budget:
-                break
-            # batch-internal priority order = the batch operator's order
-            pdf = pdf.sort_values(
-                ["hops", "score", "surt_key"],
-                ascending=[True, False, True],
-                kind="mergesort",
-            )
-            take = min(host_budget - used, len(pdf))
-            if take <= 0:
-                break
-            out = pdf.iloc[:take].copy()
-            out["fetch_seq"] = range(used + 1, used + take + 1)
-            used += take
-            yield out[["host", "surt_key", "hops", "score", "fetch_seq"]]
+        # applyInPandasWithState may deliver one host's micro-batch rows as
+        # several Arrow chunks (~10k rows each). Slots must be claimed in
+        # ONE priority order over the whole group — sorting chunk-by-chunk
+        # would let a low-priority row in an early chunk outrank a
+        # higher-priority row in a later chunk, making the claimed set
+        # depend on chunk boundaries (advisor r03 finding). The group is
+        # bounded by the micro-batch, and budgets are small, so a full
+        # concat is the batch operator's own materialization shape.
+        if used < host_budget:
+            chunks = [pdf for pdf in pdfs if len(pdf)]
+            if chunks:
+                whole = pd.concat(chunks, ignore_index=True).sort_values(
+                    ["hops", "score", "surt_key"],
+                    ascending=[True, False, True],
+                    kind="mergesort",
+                )
+                take = min(host_budget - used, len(whole))
+                if take > 0:
+                    out = whole.iloc[:take].copy()
+                    out["fetch_seq"] = range(used + 1, used + take + 1)
+                    used += take
+                    yield out[["host", "surt_key", "hops", "score", "fetch_seq"]]
         state.update((used,))
 
     return candidates.groupBy("host").applyInPandasWithState(
