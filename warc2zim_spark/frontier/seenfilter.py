@@ -311,6 +311,53 @@ def _cuckoo_insert(
     return False  # table over-full
 
 
+def _cuckoo_place_pass(
+    table: np.ndarray, occ: np.ndarray, fp: np.ndarray, buckets: np.ndarray
+) -> np.ndarray:
+    """One vectorized placement pass: append each key's fingerprint to its
+    bucket where capacity remains, first-come order preserved within the
+    pass. Returns a boolean mask (original order) of keys NOT placed.
+
+    Shape: one argsort + one scatter per pass — the bulk replacement for
+    the per-key Python insert loop (r03 verdict #2). Only keys whose both
+    buckets fill up fall through to the sequential kick loop."""
+    n = len(fp)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    order = np.argsort(buckets, kind="stable")
+    b = buckets[order]
+    f = fp[order]
+    # rank of each key within its equal-bucket run
+    starts = np.r_[True, b[1:] != b[:-1]]
+    run_start = np.maximum.accumulate(np.where(starts, np.arange(n), 0))
+    rank = np.arange(n) - run_start
+    slot = occ[b] + rank
+    ok = slot < _CUCKOO_SLOTS
+    table[b[ok], slot[ok]] = f[ok]
+    # bincount, not np.add.at: ufunc.at is ~50x slower at 10^6 updates
+    occ += np.bincount(b[ok], minlength=len(occ)).astype(np.int64)
+    unplaced = np.zeros(n, dtype=bool)
+    unplaced[order[~ok]] = True
+    return unplaced
+
+
+def _cuckoo_fill(
+    table: np.ndarray, n_buckets: int, fp: np.ndarray, i1: np.ndarray, i2: np.ndarray, h1: np.ndarray
+) -> None:
+    """Bulk-fill an empty cuckoo table: vectorized two-choice placement for
+    the non-colliding majority, Python kicks only for the residue (at the
+    default 0.84 load factor the residue is a few percent of keys)."""
+    occ = np.zeros(table.shape[0], dtype=np.int64)
+    un1 = _cuckoo_place_pass(table, occ, fp, i1)
+    res = np.flatnonzero(un1)
+    un2 = _cuckoo_place_pass(table, occ, fp[res], i2[res])
+    for j in res[un2]:
+        if not _cuckoo_insert(
+            table, n_buckets, int(fp[j]), int(i1[j]), int(i2[j]), int(h1[j])
+        ):  # pragma: no cover
+            raise RuntimeError("cuckoo table over-full; lower load_factor")
+
+
 def build_cuckoo(
     seen: DataFrame,
     key_col: str = "surt_key",
@@ -336,11 +383,7 @@ def build_cuckoo(
         table = np.zeros((n_buckets, _CUCKOO_SLOTS), dtype=np.uint8)
         h1 = _uint64(pdf["_h1"])
         fp, i1, i2 = _cuckoo_fp_i1_i2(h1, n_buckets)
-        for j in range(len(h1)):
-            if not _cuckoo_insert(
-                table, n_buckets, int(fp[j]), int(i1[j]), int(i2[j]), int(h1[j])
-            ):  # pragma: no cover
-                raise RuntimeError("cuckoo table over-full; lower load_factor")
+        _cuckoo_fill(table, n_buckets, fp, i1, i2, h1)
         return pd.DataFrame(
             {
                 "part_id": [part_id],
