@@ -45,6 +45,21 @@ def main() -> None:
     # reference main.py:144-158 — per-run charset alias rows, alias=encoding
     parser.add_argument("--encoding-aliases", nargs="*", default=None,
                         metavar="ALIAS=ENCODING")
+    # reference main.py:113-143 — decode tuning: tier-(c) try-list (single
+    # csv string, like the reference), lying-header ignore flags, and the
+    # content-declaration sniff window size
+    parser.add_argument("--charsets-to-try", default=None,
+                        metavar="CS1,CS2", dest="charsets_to_try")
+    parser.add_argument("--ignore-content-header-charsets", action="store_true")
+    parser.add_argument("--ignore-http-header-charsets", action="store_true")
+    parser.add_argument("--content-header-bytes-length", type=int, default=1024)
+    # reference main.py:85-90 — extra Scraper metadata suffix
+    parser.add_argument("--scraper-suffix", default=None)
+    # reference main.py:77 — accepted for parity; the reference stores but
+    # never consumes it (converter.py:135), and so do we
+    parser.add_argument("--source", default=None)
+    # reference main.py:105-111 — skip openZIM metadata validation
+    parser.add_argument("--disable-metadata-checks", action="store_true")
     parser.add_argument("--crawl", action="store_true")
     parser.add_argument("--max-waves", type=int, default=4)
     parser.add_argument("--host-budget", type=int, default=8)
@@ -60,11 +75,26 @@ def main() -> None:
     if args.custom_css:
         with open(args.custom_css, "rb") as fh:
             custom_css = fh.read()
+    from warc2zim_spark.kernels.decode import DecodeOptions
+
+    decode_options = DecodeOptions(
+        charsets_to_try=(
+            tuple(c.strip() for c in args.charsets_to_try.split(",") if c.strip())
+            if args.charsets_to_try is not None else None
+        ),
+        header_bytes=args.content_header_bytes_length,
+        ignore_content_header_charsets=args.ignore_content_header_charsets,
+        ignore_http_header_charsets=args.ignore_http_header_charsets,
+    )
     metrics = run_pipeline(
         spark, args.webdata, args.out, args.include_domains,
         name=args.name, custom_css=custom_css,
         main_url=args.main_url, favicon_url=args.favicon_url,
         continue_on_error=args.continue_on_error,
+        decode_options=decode_options,
+        disable_metadata_checks=args.disable_metadata_checks,
+        scraper_suffix=args.scraper_suffix,
+        source=args.source,
         encoding_aliases=(
             dict(p.split("=", 1) for p in args.encoding_aliases)
             if args.encoding_aliases else None

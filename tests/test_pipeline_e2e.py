@@ -252,3 +252,135 @@ class TestFailedWinnerFallback:
         items = items_table(exclude_failed_records(content, fails))
         got = {r.zim_path: r.rec_seq for r in items.collect()}
         assert got == {"dup.example/page": 2, "dup.example/other": 3}
+
+
+class TestDecodeTuningFlags:
+    """r03 verdict missing #1: the decode-tuning CLI surface
+    (--charsets-to-try, --ignore-content-header-charsets,
+    --ignore-http-header-charsets, --content-header-bytes-length,
+    ref main.py:113-143) threaded through to the quarantine probe."""
+
+    @staticmethod
+    def _content(spark, rows):
+        return spark.createDataFrame(
+            rows,
+            "file_seq int, rec_seq int, rec_type string, zim_path string, "
+            "effective_url string, mime string, resourcetype string, "
+            "p_method string, status int, payload_len long, "
+            "payload binary, http_charset string",
+        )
+
+    def _row(self, seq, path, mime, payload, http_charset=None):
+        return (1, seq, "response", path, f"https://{path}", mime, None,
+                "GET", 200, len(payload), payload, http_charset)
+
+    def test_narrowed_trylist_quarantines(self, spark):
+        from warc2zim_spark.kernels.decode import DecodeOptions
+        from warc2zim_spark.operators.quarantine import quarantined_records
+
+        content = self._content(spark, [
+            # non-ascii css, no declared/header charset: default list (ends
+            # ISO-8859-1) decodes; a strict ascii-only try-list cannot
+            self._row(1, "t.example/a.css", "text/css", "h\xe9llo".encode()),
+        ])
+        assert quarantined_records(content).count() == 0
+        fails = quarantined_records(
+            content, decode_options=DecodeOptions(charsets_to_try=("ascii",))
+        )
+        rows = fails.collect()
+        assert len(rows) == 1 and rows[0].reason.startswith("ValueError")
+
+    def test_ignore_http_header_charsets_rescues(self, spark):
+        from warc2zim_spark.kernels.decode import DecodeOptions
+        from warc2zim_spark.operators.quarantine import quarantined_records
+
+        content = self._content(spark, [
+            # lying HTTP header names an unknown codec: tier (b) LookupError
+            self._row(1, "t.example/b.css", "text/css", b"body{}",
+                      http_charset="no-such-codec"),
+        ])
+        assert quarantined_records(content).count() == 1
+        assert quarantined_records(
+            content,
+            decode_options=DecodeOptions(ignore_http_header_charsets=True),
+        ).count() == 0
+
+    def test_ignore_content_header_charsets_rescues(self, spark):
+        from warc2zim_spark.kernels.decode import DecodeOptions
+        from warc2zim_spark.operators.quarantine import quarantined_records
+
+        html = b'<html><meta charset="no-such-codec"><body>x</body></html>'
+        content = self._content(spark, [
+            self._row(1, "t.example/c.html", "text/html", html),
+        ])
+        assert quarantined_records(content).count() == 1
+        assert quarantined_records(
+            content,
+            decode_options=DecodeOptions(ignore_content_header_charsets=True),
+        ).count() == 0
+
+    def test_content_header_bytes_length_widens_sniff(self, spark):
+        from warc2zim_spark.kernels.decode import DecodeOptions
+        from warc2zim_spark.operators.quarantine import quarantined_records
+
+        # declaration sits past the default 1 KiB window
+        html = b"<html><!--" + b"x" * 2000 + b'--><meta charset="no-such-codec">'
+        content = self._content(spark, [
+            self._row(1, "t.example/d.html", "text/html", html),
+        ])
+        assert quarantined_records(content).count() == 0  # not sniffed
+        assert quarantined_records(
+            content, decode_options=DecodeOptions(header_bytes=4096)
+        ).count() == 1  # sniffed -> unknown codec fails
+
+
+class TestMetadataCliFlags:
+    """r03 verdict missing #2: --scraper-suffix / --source /
+    --disable-metadata-checks (ref main.py:77,85-90,105-111)."""
+
+    def test_scraper_suffix_in_scraper_row(self, spark, webdata, tmp_path):
+        from warc2zim_spark.plans.pipeline import run_pipeline
+
+        out = tmp_path / "out_suffix"
+        run_pipeline(
+            spark, webdata, str(out), name="n",
+            continue_on_error=True, scraper_suffix="mycrawler 1.0",
+        )
+        meta = {r.name: r.value
+                for r in spark.read.parquet(str(out / "metadata")).collect()}
+        assert meta["Scraper"].endswith(",mycrawler 1.0")
+
+    def test_disable_metadata_checks_bypasses_validation(self, spark, webdata, tmp_path):
+        import pytest as _pytest
+
+        from warc2zim_spark.plans.pipeline import run_pipeline
+
+        long_title = "T" * 45  # > RECOMMENDED_MAX_TITLE_LENGTH
+        with _pytest.raises(ValueError, match="Title too long"):
+            run_pipeline(
+                spark, webdata, str(tmp_path / "out_reject"), name="n",
+                continue_on_error=True, metadata_args={"title": long_title},
+            )
+        out = tmp_path / "out_nochecks"
+        run_pipeline(
+            spark, webdata, str(out), name="n",
+            continue_on_error=True, metadata_args={"title": long_title},
+            disable_metadata_checks=True,
+        )
+        meta = {r.name: r.value
+                for r in spark.read.parquet(str(out / "metadata")).collect()}
+        # stored (truncation to 29+ellipsis still applies downstream like the
+        # reference's RECOMMENDED_MAX_TITLE_LENGTH clamp, converter.py:317-319)
+        assert meta["Title"].startswith("T" * 29)
+
+    def test_source_flag_accepted_and_unused(self, spark, webdata, tmp_path):
+        from warc2zim_spark.plans.pipeline import run_pipeline
+
+        out = tmp_path / "out_source"
+        run_pipeline(
+            spark, webdata, str(out), name="n",
+            continue_on_error=True, source="https://example.com/",
+        )
+        meta = {r.name for r in spark.read.parquet(str(out / "metadata")).collect()}
+        # parity: the reference stores args.source but writes no Source row
+        assert "Source" not in meta

@@ -47,6 +47,28 @@ DEFAULT_HEADER_BYTES = 1024  # main.py:129-134 --content-header-bytes-length
 _PROBE_ENCODINGS = ("ascii", "utf-16", "utf-32")
 
 
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class DecodeOptions:
+    """The reference's decode-tuning CLI surface (main.py:113-158) as one
+    picklable bundle, threaded CLI → run_pipeline → the Arrow UDF factories.
+
+    ``charsets_to_try=None`` means the engine default list; an explicit
+    empty tuple means "no tier-(c) fallback" (utils.py:213-219 iterates the
+    caller's list verbatim)."""
+
+    charsets_to_try: tuple[str, ...] | None = None
+    header_bytes: int = DEFAULT_HEADER_BYTES
+    ignore_content_header_charsets: bool = False
+    ignore_http_header_charsets: bool = False
+    extra_aliases: dict[str, str] | None = None
+
+    def try_list(self) -> list[str] | None:
+        return None if self.charsets_to_try is None else list(self.charsets_to_try)
+
+
 def resolve_encoding_alias(alias: str, extra: dict[str, str] | None = None) -> str:
     """Alias → codec name; ``extra`` is the per-run user table
     (``--encoding-aliases``, reference main.py:144-158) consulted FIRST so

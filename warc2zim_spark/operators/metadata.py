@@ -151,6 +151,7 @@ def zim_metadata(
     date: str | None = None,
     illustration: bytes | None = None,
     main: DataFrame | None = None,
+    validate: bool = True,
 ) -> DataFrame:
     """S7 — the full (name, value) metadata frame.
 
@@ -168,11 +169,14 @@ def zim_metadata(
       X-ContentDate = warc_start or 'start,end' (converter.py:381-394)
 
     All derived pieces are 1-row aggregates crossJoined then unpivoted with
-    stack() — no collect, no wide shuffle."""
-    validate_metadata(
-        title=title, description=description,
-        long_description=long_description, language=language, tags=tags,
-    )
+    stack() — no collect, no wide shuffle. ``validate=False`` is the
+    reference's ``--disable-metadata-checks`` (main.py:105-111,
+    converter.py:279)."""
+    if validate:
+        validate_metadata(
+            title=title, description=description,
+            long_description=long_description, language=language, tags=tags,
+        )
 
     from warc2zim_spark.functions import udfs
     from warc2zim_spark.operators.gather import main_page_resolved

@@ -32,7 +32,7 @@ def _probe_decode_failure(
     payload: bytes,
     http_charset: str | None,
     mode: str,
-    extra_aliases: dict[str, str] | None,
+    opts: _decode.DecodeOptions,
 ) -> str | None:
     """Would ``to_string(payload, ...)`` raise? Answered WITHOUT decoding
     the full payload on the common paths — at 100 TB a failure-detection
@@ -45,18 +45,20 @@ def _probe_decode_failure(
     rare path pays full cost."""
     try:
         declared = (
-            _decode.sniff_declared_charset(payload) if mode == "html" else None
+            _decode.sniff_declared_charset(payload, opts.header_bytes)
+            if mode == "html" and not opts.ignore_content_header_charsets
+            else None
         )
-        head = payload[: _decode.DEFAULT_HEADER_BYTES]
+        head = payload[: opts.header_bytes]
         if declared is not None:
             head.decode(
-                _decode.resolve_encoding_alias(declared, extra_aliases),
+                _decode.resolve_encoding_alias(declared, opts.extra_aliases),
                 errors="replace",
             )
             return None
-        if http_charset:
+        if http_charset and not opts.ignore_http_header_charsets:
             head.decode(
-                _decode.resolve_encoding_alias(http_charset, extra_aliases),
+                _decode.resolve_encoding_alias(http_charset, opts.extra_aliases),
                 errors="replace",
             )
             return None
@@ -66,21 +68,36 @@ def _probe_decode_failure(
         _decode.to_string(
             payload,
             None,
+            opts.try_list(),
+            opts.header_bytes,
             ignore_content_header_charsets=True,
             ignore_http_header_charsets=True,
-            extra_aliases=extra_aliases,
+            extra_aliases=opts.extra_aliases,
         )
         return None
     except Exception as exc:  # noqa: BLE001 — the guard IS the feature
         return f"{type(exc).__name__}: {exc}"[:200]
 
 
-def make_decode_error_udf(extra_aliases: dict[str, str] | None = None):
+def make_decode_error_udf(
+    extra_aliases: dict[str, str] | None = None,
+    options: "_decode.DecodeOptions | None" = None,
+):
     """Per-row failure capture for the decode stage: null on success, else
     ``ExceptionClass: message`` (truncated). ANY kernel failure must become
     data, not a task failure. ``extra_aliases`` is the per-run user alias
     table (``--encoding-aliases``, reference main.py:144-158): an alias the
-    user maps turns a would-be failure into a successful decode."""
+    user maps turns a would-be failure into a successful decode.
+    ``options`` carries the full decode-tuning surface (``--charsets-to-try``,
+    ``--ignore-*-charsets``, ``--content-header-bytes-length``,
+    main.py:113-143)."""
+    opts = options if options is not None else _decode.DecodeOptions()
+    if extra_aliases:
+        import dataclasses as _dc
+
+        opts = _dc.replace(
+            opts, extra_aliases={**(opts.extra_aliases or {}), **extra_aliases}
+        )
 
     @pandas_udf(StringType())
     def decode_error(
@@ -96,7 +113,7 @@ def make_decode_error_udf(extra_aliases: dict[str, str] | None = None):
                     bytes(payload),
                     charset if charset is not None else None,
                     mode,
-                    extra_aliases,
+                    opts,
                 )
             )
         return pd.Series(out)
@@ -110,16 +127,22 @@ decode_error = make_decode_error_udf()
 def quarantined_records(
     content_with_payload: DataFrame,
     encoding_aliases: dict[str, str] | None = None,
+    decode_options: "_decode.DecodeOptions | None" = None,
 ) -> DataFrame:
     """(zim_path, url, file_seq, rec_seq, stage, reason) — response records
     whose text-rewrite stage fails. ``stage`` is the C1 rewrite mode (only
     text modes decode; binary passthrough records cannot fail here).
 
     Prefers the ``payload_head`` ingest column (first KiB) over the full
-    ``payload`` — the probe only needs the declaration window plus the codec
-    name, so the fails pass column-prunes to ~1 KiB/row (with the default
-    try-list the tier-c branch cannot fail, making head ≡ full for failure
-    detection; the quarantine path never narrows the try-list)."""
+    ``payload`` when the try-list is the default — the probe then only
+    needs the declaration window plus the codec name (the default list ends
+    in ISO-8859-1, so tier (c) cannot fail and head ≡ full for failure
+    detection). A user-NARROWED ``--charsets-to-try`` makes tier (c)
+    strict-decode fallible over the whole payload, so that path reads the
+    full bytes — correctness over the 1-KiB IO cut, only when asked for.
+
+    ``decode_options`` is the reference's decode-tuning CLI surface
+    (main.py:113-143); ``encoding_aliases`` rows merge over its aliases."""
     mode = rewrite_mode_expr(
         F.split(F.coalesce(F.col("mime"), F.lit("")), ";").getItem(0),
         F.col("resourcetype"),
@@ -128,12 +151,15 @@ def quarantined_records(
     )
     err_udf = (
         decode_error
-        if encoding_aliases is None
-        else make_decode_error_udf(encoding_aliases)
+        if encoding_aliases is None and decode_options is None
+        else make_decode_error_udf(encoding_aliases, decode_options)
+    )
+    narrowed_try_list = (
+        decode_options is not None and decode_options.charsets_to_try is not None
     )
     bytes_col = (
         F.col("payload_head")
-        if "payload_head" in content_with_payload.columns
+        if "payload_head" in content_with_payload.columns and not narrowed_try_list
         else F.col("payload")
     )
     return (

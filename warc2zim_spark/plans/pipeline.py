@@ -53,6 +53,10 @@ def run_pipeline(
     favicon_url: str | None = None,
     continue_on_error: bool = False,
     encoding_aliases: dict[str, str] | None = None,
+    decode_options=None,
+    disable_metadata_checks: bool = False,
+    scraper_suffix: str | None = None,
+    source: str | None = None,
 ) -> dict:
     """Full pass1 + pass2 → tables under ``out_dir``; returns run metrics.
 
@@ -78,17 +82,35 @@ def run_pipeline(
     ``encoding_aliases``: the reference's ``--encoding-aliases``
     (main.py:144-158) — per-run {alias: encoding} rows consulted before the
     builtin table; mapping a record's unknown charset turns its would-be
-    failure into a clean decode."""
+    failure into a clean decode.
+
+    ``decode_options``: a :class:`~warc2zim_spark.kernels.decode.DecodeOptions`
+    — the rest of the decode-tuning CLI (``--charsets-to-try``,
+    ``--ignore-content-header-charsets``, ``--ignore-http-header-charsets``,
+    ``--content-header-bytes-length``, main.py:113-143).
+
+    ``disable_metadata_checks``: the reference's flag of the same name
+    (main.py:105-111, converter.py:279): skip openZIM-convention validation
+    of user metadata.
+
+    ``scraper_suffix``: appended to the Scraper metadata row
+    (main.py:85-90, converter.py:365-376).
+
+    ``source``: accepted for CLI parity with main.py:77; the reference sets
+    ``self.source`` (converter.py:135) but never writes Source metadata —
+    a write-only flag we mirror faithfully rather than invent behavior for."""
+    del source  # parity: reference never consumes it (converter.py:135)
     # validate user metadata BEFORE any distributed work (converter.py:279-294
     # "so that we do not waste time doing operations for a scraper which will
     # fail anyway in the end")
-    validate_metadata(
-        **{
-            k: v
-            for k, v in (metadata_args or {}).items()
-            if k in ("title", "description", "long_description", "language", "tags")
-        }
-    )
+    if not disable_metadata_checks:
+        validate_metadata(
+            **{
+                k: v
+                for k, v in (metadata_args or {}).items()
+                if k in ("title", "description", "long_description", "language", "tags")
+            }
+        )
     t0 = time.time()
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
@@ -109,10 +131,16 @@ def run_pipeline(
     )
 
     # head-only content stream: the probe reads the 1-KiB payload_head
-    # column, never the full payload bytes
+    # column, never the full payload bytes — unless a narrowed try-list
+    # makes tier (c) fallible over the whole payload (see quarantined_records)
+    narrowed = (
+        decode_options is not None
+        and getattr(decode_options, "charsets_to_try", None) is not None
+    )
     fails = quarantined_records(
-        content_records(records, with_head=True),
+        content_records(records, with_payload=narrowed, with_head=not narrowed),
         encoding_aliases=encoding_aliases,
+        decode_options=decode_options,
     ).cache()
     fails.write.mode("overwrite").parquet(str(out / "fails"))
     n_fails = fails.count()  # cached: counts the written frame, no re-scan
@@ -202,6 +230,10 @@ def run_pipeline(
     # (J3 payload-capture join + A9 ranking); 0 captured rows → the
     # transparent fallback inside zim_metadata (converter.py:920-924)
     meta_args = dict(metadata_args or {})
+    if scraper_suffix is not None:
+        meta_args.setdefault("scraper_suffix", scraper_suffix)
+    if disable_metadata_checks:
+        meta_args["validate"] = False
     if meta_args.get("illustration") is None:
         from warc2zim_spark.operators.favicon import (
             best_illustration,
