@@ -89,11 +89,20 @@ def q_w_seen_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     return expected_items(_content(spark, sf_dir))
 
 
-def q_w_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1 — X-ContentDate range."""
-    from warc2zim_spark.operators.gather import date_range
+def q_w_run_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 + A5 merged into one 1-row frame to stay inside the driver's
+    50-query cap (r03 verdict #6): X-ContentDate range (min/max WARC-Date,
+    converter.py:491-497) crossJoined with the first warcinfo record's
+    ``software:`` field (converter.py:463-477) — both sides are 1-row
+    aggregates off the same record scan, so the crossJoin is free."""
+    from warc2zim_spark.operators.gather import date_range, warcinfo_software
 
-    return date_range(_content(spark, sf_dir))
+    records = _records(spark, sf_dir)
+    from warc2zim_spark.operators.records import content_records
+
+    return date_range(content_records(records)).crossJoin(
+        warcinfo_software(records)
+    )
 
 
 def q_w_main_page(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -259,13 +268,6 @@ def q_w_jsonp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "case_id",
         udfs.jsonp_rewrite(F.col("content"), F.col("url")).alias("rewritten"),
     )
-
-
-def q_w_warcinfo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A5 — first warcinfo record's software field (converter.py:463-477)."""
-    from warc2zim_spark.operators.gather import warcinfo_software
-
-    return warcinfo_software(_records(spark, sf_dir))
 
 
 def q_w_expected_full(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -642,6 +644,20 @@ def q_d_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(_docs(spark, sf_dir))
 
 
+def q_d_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact stratified sampling (operators/sampling.py):
+    exactly min(5, |stratum|) docs per language, chosen by a seeded hash
+    order — identical at any parallelism. The driver row uses the md5
+    portable key so DuckDB re-derives the SAME rows independently; the
+    xxhash64 production path is pinned by pytest (same window logic)."""
+    from warc2zim_spark.operators.sampling import stratified_sample_exact
+
+    return stratified_sample_exact(
+        _docs(spark, sf_dir), strata_col="lang", n_per_stratum=5,
+        id_col="doc_id", seed=42, key="md5",
+    ).select("doc_id", "lang")
+
+
 def q_e_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for the first 8 vectors (exact baseline)."""
     from warc2zim_spark.operators.similarity import brute_force_topk
@@ -820,7 +836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_redirect_edges": q_w_redirect_edges,
         "w_redirects_kept": q_w_redirects_kept,
         "w_seen_set": q_w_seen_set,
-        "w_date_range": q_w_date_range,
+        "w_run_summary": q_w_run_summary,
         "w_main_page": q_w_main_page,
         "w_main_page_redirect": q_w_main_page_redirect,
         "w_metadata": q_w_metadata,
@@ -830,7 +846,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_rewrite_js": q_w_rewrite_js,
         "w_illustration": q_w_illustration,
         "w_jsonp": q_w_jsonp,
-        "w_warcinfo": q_w_warcinfo,
         "w_expected_full": q_w_expected_full,
         "w_include_domains": q_w_include_domains,
         "w_pairing_urlkey": q_w_pairing_urlkey,
@@ -858,6 +873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_simhash_pairs": q_d_simhash_pairs,
         "d_textstats": q_d_textstats,
         "d_fingerprint": q_d_fingerprint,
+        "d_stratified_sample": q_d_stratified_sample,
         "e_ann_brute": q_e_ann_brute,
         "e_ann_lsh": q_e_ann_lsh,
         "e_ann_ivf": q_e_ann_ivf,
@@ -963,8 +979,11 @@ def _web_sql(sf: str = "sf0.01") -> dict[str, str]:
           )
         """,
         "w_seen_set": f"SELECT zim_path FROM ({expected})",
-        "w_date_range": f"""
-          SELECT min(warc_date) AS warc_start, max(warc_date) AS warc_end
+        "w_run_summary": f"""
+          SELECT min(warc_date) AS warc_start, max(warc_date) AS warc_end,
+                 (SELECT regexp_extract(decode(payload), 'software:\\s*([^\\r\\n]+)', 1)
+                  FROM {rec} WHERE rec_type = 'warcinfo'
+                  ORDER BY file_seq, rec_seq LIMIT 1) AS software
           FROM ({content})
         """,
         "w_main_page": f"""
@@ -1069,11 +1088,6 @@ def _web_sql(sf: str = "sf0.01") -> dict[str, str]:
             CASE WHEN cb <> '' AND cb <> '?' AND fn <> ''
                  THEN cb || fn ELSE content END AS rewritten
           FROM x
-        """,
-        "w_warcinfo": f"""
-          SELECT regexp_extract(decode(payload), 'software:\\s*([^\\r\\n]+)', 1) AS software
-          FROM {rec} WHERE rec_type = 'warcinfo'
-          ORDER BY file_seq, rec_seq LIMIT 1
         """,
         "w_expected_full": f"""
           WITH RECURSIVE edges AS ({edges}), expected AS ({expected}),
@@ -1383,6 +1397,17 @@ def _doc_sql(sf: str = "sf0.01") -> dict[str, str]:
           FROM embeddings WHERE vec_id < 8
         """,
         "d_fingerprint": f"SELECT doc_id, unnest(fingerprint) AS fp FROM {dg}",
+        # structurally independent re-derivation: DuckDB's own md5() over the
+        # same salted key string + QUALIFY window — not a replay of Spark rows
+        "d_stratified_sample": """
+          SELECT doc_id, lang
+          FROM documents
+          QUALIFY row_number() OVER (
+            PARTITION BY lang
+            ORDER BY md5('w2zs-sample' || ':' || '42' || ':' || CAST(doc_id AS VARCHAR)),
+                     doc_id
+          ) <= 5
+        """,
         "e_ann_brute": """
           WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 8),
           scored AS (

@@ -398,3 +398,40 @@ class TestAnnPlanScale:
             )._jdf.queryExecution().analyzed().toString()
             sizes[(dim, n_lists)] = len(plan)
         assert sizes[(256, 16)] < 1.2 * sizes[(16, 4)], sizes
+
+
+class TestPortableSampleKey:
+    def test_md5_key_same_quota_logic_as_xxhash(self, spark, docs):
+        """The md5 portable key (driver oracle path) must satisfy the same
+        exactness contract as the production xxhash64 key: exactly
+        min(n, |stratum|) rows per stratum, deterministic across calls."""
+        from warc2zim_spark.operators.sampling import stratified_sample_exact
+
+        kwargs = dict(strata_col="lang", n_per_stratum=3, id_col="doc_id")
+        md5_a = {tuple(r) for r in stratified_sample_exact(
+            docs, **kwargs, key="md5").select("doc_id", "lang").collect()}
+        md5_b = {tuple(r) for r in stratified_sample_exact(
+            docs, **kwargs, key="md5").select("doc_id", "lang").collect()}
+        assert md5_a == md5_b
+        sizes = {}
+        for _, lang in md5_a:
+            sizes[lang] = sizes.get(lang, 0) + 1
+        totals = {r.lang: r.n for r in docs.groupBy("lang").agg(
+            F.count("*").alias("n")).collect()}
+        assert sizes == {k: min(3, v) for k, v in totals.items() if min(3, v)}
+
+    def test_unknown_key_raises(self, spark, docs):
+        import pytest as _pytest
+
+        from warc2zim_spark.operators.sampling import stratified_sample_exact
+
+        with _pytest.raises(ValueError, match="unknown sample key"):
+            stratified_sample_exact(
+                docs, strata_col="lang", n_per_stratum=1, id_col="doc_id",
+                key="sha9000",
+            ).collect()
+        with _pytest.raises(ValueError, match="requires the xxhash64"):
+            stratified_sample_exact(
+                docs, strata_col="lang", n_per_stratum=1, id_col="doc_id",
+                key="md5", prefilter_fraction=0.5,
+            ).collect()

@@ -30,9 +30,22 @@ from pyspark.sql import functions as F
 _SALT = "w2zs-sample"
 
 
-def sample_key(id_col, seed: int):
-    """Deterministic per-row sampling key (uniform 64-bit, JVM-side)."""
-    return F.xxhash64(F.lit(_SALT), F.lit(int(seed)), id_col)
+def sample_key(id_col, seed: int, key: str = "xxhash64"):
+    """Deterministic per-row sampling key.
+
+    ``xxhash64`` (default): uniform 64-bit, JVM-side — the production path.
+    ``md5``: hex-string key reproducible bit-for-bit in other engines
+    (DuckDB's ``md5()`` yields the same hex for the same string) — used by
+    the driver's cross-engine oracle check; same window logic, slower hash."""
+    if key == "xxhash64":
+        return F.xxhash64(F.lit(_SALT), F.lit(int(seed)), id_col)
+    if key == "md5":
+        return F.md5(
+            F.concat_ws(
+                ":", F.lit(_SALT), F.lit(str(int(seed))), id_col.cast("string")
+            ).cast("binary")
+        )
+    raise ValueError(f"unknown sample key {key!r}: xxhash64 | md5")
 
 
 def approx_fraction_prefilter(
@@ -55,6 +68,7 @@ def stratified_sample_exact(
     id_col: str,
     seed: int = 42,
     prefilter_fraction: float | None = None,
+    key: str = "xxhash64",
 ) -> DataFrame:
     """Exactly min(n_per_stratum, |stratum|) rows per stratum, chosen by
     the deterministic hash order (ties impossible: the id disambiguates).
@@ -69,11 +83,15 @@ def stratified_sample_exact(
     tests."""
     work = df
     if prefilter_fraction is not None:
+        if key != "xxhash64":
+            raise ValueError("prefilter_fraction requires the xxhash64 key")
         work = approx_fraction_prefilter(work, id_col, prefilter_fraction, seed)
     # order by |key| so the prefilter (|key| ≤ threshold) keeps exactly a
     # prefix of the same order — two-phase ≡ one-phase whenever sized right
-    key = F.abs(sample_key(F.col(id_col), seed))
-    w = Window.partitionBy(strata_col).orderBy(key.asc(), F.col(id_col).asc())
+    key_col = sample_key(F.col(id_col), seed, key)
+    if key == "xxhash64":
+        key_col = F.abs(key_col)
+    w = Window.partitionBy(strata_col).orderBy(key_col.asc(), F.col(id_col).asc())
     return (
         work.withColumn("_sample_rank", F.row_number().over(w))
         .filter(F.col("_sample_rank") <= n_per_stratum)
