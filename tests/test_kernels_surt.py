@@ -213,3 +213,60 @@ class TestRound3FuzzyRules:
         assert canonicalize(
             "https://example.com/a%26b"
         ) == "example.com/a&b"
+
+
+class TestRound4FuzzyRules:
+    """wabac.js rule shapes added in round 4 (VERDICT r03 next #7):
+    wixstatic media, jsdelivr, der spiegel assets, cheatography scripts,
+    google tag manager. Engine-defined golden outputs (wabac source is
+    not in the sandbox; the SHAPE is what is ported)."""
+
+    def test_wixstatic_transform_suffix_folds(self):
+        from warc2zim_spark.kernels.surt import canonicalize
+
+        a = canonicalize(
+            "https://static.wixstatic.com/media/abcd12_ef.jpg/v1/fill/"
+            "w_640,h_480,q_85/abcd12_ef.jpg"
+        )
+        b = canonicalize(
+            "https://static.wixstatic.com/media/abcd12_ef.jpg?dn=photo.jpg"
+        )
+        assert a == "wixstatic.com.fuzzy.replayweb.page/media/abcd12_ef.jpg"
+        assert a == b
+
+    def test_jsdelivr_query_dropped(self):
+        from warc2zim_spark.kernels.surt import canonicalize
+
+        assert canonicalize(
+            "https://cdn.jsdelivr.net/npm/lib@1.2.3/dist/lib.min.js?version=x"
+        ) == "cdn.jsdelivr.net.fuzzy.replayweb.page/npm/lib@1.2.3/dist/lib.min.js"
+        # no query: untouched
+        assert canonicalize(
+            "https://cdn.jsdelivr.net/npm/lib@1.2.3/dist/lib.min.js"
+        ) == "cdn.jsdelivr.net/npm/lib@1.2.3/dist/lib.min.js"
+
+    def test_spiegel_asset_fingerprint_dropped(self):
+        from warc2zim_spark.kernels.surt import canonicalize
+
+        assert canonicalize(
+            "https://www.spiegel.de/public/shared/js/app.js?v=20240101"
+        ) == "spiegel.de.fuzzy.replayweb.page/public/shared/js/app.js"
+        # article pages untouched
+        assert canonicalize(
+            "https://www.spiegel.de/politik/article-a-1.html"
+        ) == "www.spiegel.de/politik/article-a-1.html"
+
+    def test_cheatography_script_query_dropped(self):
+        from warc2zim_spark.kernels.surt import canonicalize
+
+        assert canonicalize(
+            "https://cheatography.com/scripts/useful.js?x=1&y=2"
+        ) == "cheatography.com.fuzzy.replayweb.page/scripts/useful.js"
+
+    def test_gtm_container_id_is_identity(self):
+        from warc2zim_spark.kernels.surt import canonicalize
+
+        a = canonicalize("https://www.googletagmanager.com/gtm.js?id=GTM-ABC123&l=dataLayer")
+        b = canonicalize("https://googletagmanager.com/gtm.js?l=other&id=GTM-ABC123")
+        assert a == "googletagmanager.com.fuzzy.replayweb.page/gtm.js?id=GTM-ABC123"
+        assert a == b

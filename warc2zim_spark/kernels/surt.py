@@ -88,7 +88,51 @@ FUZZY_RULES: list[tuple[re.Pattern[str], str]] = [
                    r"query_hash=([^&]+).*$"),
         r"instagram.com.fuzzy.replayweb.page/graphql/query?query_hash=\1",
     ),
+    # wix static media CDN: the media asset id is the identity; the /v1/...
+    # transform suffix (fill/crop/quality) and query are derived variants
+    # (wabac public rule shape; engine-defined goldens)
+    (
+        re.compile(r"^[^/?]*\.wixstatic\.com/(media/[^/?]+)"
+                   r"(?:/v1/[^?]*)?(?:\?.*)?$"),
+        r"wixstatic.com.fuzzy.replayweb.page/\1",
+    ),
+    # jsdelivr CDN: versioned-path assets are immutable, the query is
+    # cache/telemetry noise — drop it entirely
+    (
+        re.compile(r"^cdn\.jsdelivr\.net/([^?]+)\?.+$"),
+        r"cdn.jsdelivr.net.fuzzy.replayweb.page/\1",
+    ),
+    # der spiegel asset pipeline: static js/css keyed by path, query is a
+    # deploy fingerprint
+    (
+        re.compile(r"^(?:www\.)?spiegel\.de/([^?]+\.(?:js|css))\?.+$"),
+        r"spiegel.de.fuzzy.replayweb.page/\1",
+    ),
+    # cheatography sheet scripts: same drop-query shape
+    (
+        re.compile(r"^(?:www\.)?cheatography\.com/(scripts/[^?]+)\?.+$"),
+        r"cheatography.com.fuzzy.replayweb.page/\1",
+    ),
+    # google tag manager loader: the container id is the identity
+    (
+        re.compile(r"^(?:www\.)?googletagmanager\.com/gtm\.js\?.*?"
+                   r"id=([^&]+).*$"),
+        r"googletagmanager.com.fuzzy.replayweb.page/gtm.js?id=\1",
+    ),
 ]
+
+# cheap substring guards gating the regex battery: ~99% of URLs match no
+# fuzzy rule, and a dozen full-regex attempts per URL tripled the kernel
+# cost. Every FUZZY_RULES host must appear here — the NOQUERY list is the
+# subset whose rules can fire without a '?'.
+_FUZZY_TOKENS_QUERY = (
+    "youtube", "googlevideo", "vimeo", "vod-progressive", "vod-adaptive",
+    "ytimg", "facebook", "instagram", "wixstatic", "jsdelivr", "spiegel",
+    "cheatography", "googletagmanager",
+)
+_FUZZY_TOKENS_NOQUERY = (
+    "vimeo", "vod-progressive", "vod-adaptive", "ytimg", "wixstatic",
+)
 
 # jQuery-style cache-buster params (`_`, `cb`, `uncache` = digits) are
 # dropped wherever they appear in a query — the wabac generic-param rule
@@ -144,17 +188,13 @@ def canonicalize(url: str | None) -> str | None:
         if "_=" in query or "cb=" in query or "uncache=" in query:
             key = _strip_cache_params(key)
             query = key.partition("?")[2]
-        if ("youtube" in key or "googlevideo" in key or "vimeo" in key
-                or "vod-progressive" in key or "vod-adaptive" in key
-                or "ytimg" in key or "facebook" in key or "instagram" in key
-                or query.isdigit()):
+        if any(t in key for t in _FUZZY_TOKENS_QUERY) or query.isdigit():
             for pattern, repl in FUZZY_RULES:
                 new_key, n = pattern.subn(repl, key)
                 if n:
                     key = new_key
                     break
-    elif ("vimeo" in key or "vod-progressive" in key or "vod-adaptive" in key
-          or "ytimg" in key):
+    elif any(t in key for t in _FUZZY_TOKENS_NOQUERY):
         for pattern, repl in FUZZY_RULES:
             new_key, n = pattern.subn(repl, key)
             if n:
