@@ -193,3 +193,49 @@ class TestHostBudgetGate:
                 spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
         got = {(r.surt_key, r.fetch_seq) for r in spark.read.parquet(out).collect()}
         assert got == {(f"h.example/top{i}", i + 1) for i in range(5)}
+
+
+class TestWatermarkMode:
+    def test_shuffled_file_order_same_item_set(self, spark, webdata, split_records, tmp_path):
+        """dedup_mode='watermark' (dropDuplicatesWithinWatermark on zim_path
+        + warc_date watermark): under a SHUFFLED file arrival order, the item
+        path set must equal the batch pipeline's, with zero duplicate paths
+        — the bounded-state out-of-order mode the r03 verdict asked for."""
+        import os
+        import shutil
+        import time
+
+        from warc2zim_spark.operators.items import items_table
+        from warc2zim_spark.operators.records import content_records, load_records
+        from warc2zim_spark.streaming import stream_items
+
+        landing, paths = split_records
+        # reverse arrival order: last chunk lands first
+        shuffled = tmp_path / "landing_shuffled"
+        shuffled.mkdir()
+        for i, p in enumerate(reversed(list(paths))):
+            dst = shuffled / f"arr-{i:04d}.parquet"
+            shutil.copy(p, dst)
+            mtime = time.time() - 4 + i
+            os.utime(dst, (mtime, mtime))
+
+        out = tmp_path / "items_wm"
+        ckpt = tmp_path / "ckpt_wm"
+        n = stream_items(
+            spark, str(shuffled), str(out), str(ckpt),
+            max_files_per_trigger=1, dedup_mode="watermark",
+            watermark_delay="96 hours",
+        )
+        assert n >= 2  # genuinely micro-batched
+
+        got_df = spark.read.parquet(str(out))
+        got_paths = [r.zim_path for r in got_df.select("zim_path").collect()]
+        assert len(got_paths) == len(set(got_paths)), "duplicate paths in sink"
+        batch = items_table(content_records(load_records(spark, webdata)))
+        want_paths = {r.zim_path for r in batch.select("zim_path").collect()}
+        assert set(got_paths) == want_paths
+        # schema parity with the other modes (minus nothing: warc_date dropped)
+        assert set(got_df.columns) == {
+            "zim_path", "url", "mime", "status", "payload_len",
+            "file_seq", "rec_seq", "is_front",
+        }

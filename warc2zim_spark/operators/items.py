@@ -73,15 +73,21 @@ def item_candidates(content: DataFrame, include_domains: list[str] | None = None
     return with_include_domains(df, include_domains)
 
 
-def items_table(content: DataFrame, include_domains: list[str] | None = None) -> DataFrame:
-    """S5 — the deduplicated item table (zim_path, url, mime, status,
-    payload_len, file_seq, rec_seq, is_front).
+def item_rows(
+    content: DataFrame,
+    include_domains: list[str] | None = None,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """The narrow pre-dedup item projection (zim_path, url, mime, status,
+    payload_len, file_seq, rec_seq, is_front) — no window, so it is legal
+    on a STREAMING DataFrame too (the watermark ingest mode dedups it with
+    ``dropDuplicatesWithinWatermark`` instead of the A2 window).
 
     ``is_front`` is the reference's FRONT_ARTICLE hint (items.py:58-62):
     mimetype startswith text/html or application/pdf — front articles enter
     the ZIM's suggestion/search index."""
     mime_full = F.coalesce(F.col("mime"), F.lit(""))
-    narrow = item_candidates(content, include_domains).select(
+    return item_candidates(content, include_domains).select(
         "zim_path",
         F.col("effective_url").alias("url"),
         F.col("mime"),
@@ -93,10 +99,15 @@ def items_table(content: DataFrame, include_domains: list[str] | None = None) ->
             mime_full.startswith("text/html")
             | mime_full.startswith("application/pdf")
         ).alias("is_front"),
+        *[F.col(c) for c in keep_cols],
     )
-    # project BEFORE the dedup window: the shuffle ships ~150 B/row keys+attrs
-    # instead of full records
-    return first_wins(narrow)
+
+
+def items_table(content: DataFrame, include_domains: list[str] | None = None) -> DataFrame:
+    """S5 — the deduplicated item table: A2 first-wins over the narrow
+    projection (project BEFORE the dedup window: the shuffle ships
+    ~150 B/row keys+attrs instead of full records)."""
+    return first_wins(item_rows(content, include_domains))
 
 
 def revisit_aliases(content: DataFrame, added_items: DataFrame) -> DataFrame:

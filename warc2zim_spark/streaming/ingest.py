@@ -3,11 +3,12 @@
 Semantics vs the batch pipeline: identical output when record files arrive
 in (file_seq) order — which is how a crawler appends them. Within a
 micro-batch, first-wins dedup is the A2 window; across batches, a path that
-already reached the sink wins over any later arrival. A truly out-of-order
-tail would need ``dropDuplicatesWithinWatermark`` on surt_key plus an
-event-time bound; the crawl source has no such reordering.
+already reached the sink wins over any later arrival. For a truly
+out-of-order tail, ``dedup_mode="watermark"`` runs
+``dropDuplicatesWithinWatermark`` on zim_path with a warc_date event-time
+bound (see below).
 
-Two cross-batch membership modes:
+Three cross-batch membership modes:
 
 * ``dedup_mode="exact"`` — anti-join against the sink's key projection (a
   narrow parquet scan, no payloads). Zero false positives, but the scan is
@@ -19,6 +20,19 @@ Two cross-batch membership modes:
   false positive drops a genuinely-new item (fpp budget set by
   ``bloom_m_bits``; 16 bits/key ≈ 0.05%) — the same tolerance class as the
   frontier's seen filter, and the reason exact stays the default.
+* ``dedup_mode="watermark"`` — Structured Streaming's own
+  ``dropDuplicatesWithinWatermark`` on zim_path with a warc_date
+  event-time watermark: state is bounded by the watermark delay (not by
+  sink size), and dedup is correct for any arrival reordering within that
+  delay. DOCUMENTED DIVERGENCE from batch: the surviving record per path
+  is the first ARRIVAL, not the global (file_seq, rec_seq) minimum — the
+  item-path SET equals the batch pipeline's under any file shuffle
+  (pinned in tests), but a reordered duplicate's attribute row may differ.
+  A duplicate arriving after its key's state expired re-appends, and a
+  NEW row arriving with event time older than the watermark is dropped as
+  late data (standard Structured Streaming semantics) — so the delay MUST
+  be sized to the source's real reordering bound, event-time span
+  included, or unique late paths are silently lost.
 
 A missing sink/filter on the first batch is detected explicitly
 (AnalysisException path-not-found only) — any OTHER read failure (corrupt
@@ -57,13 +71,17 @@ def stream_items(
     dedup_mode: str = "exact",
     bloom_partitions: int = 32,
     bloom_m_bits: int = 1 << 20,
+    watermark_delay: str = "1 hour",
 ) -> int:
     """Drain all currently-available record files into the items sink;
     returns the number of micro-batches processed. Re-invoking after more
     files land (or after a crash — checkpointed offsets) continues where it
-    left off."""
-    if dedup_mode not in ("exact", "bloom"):
-        raise ValueError(f"dedup_mode must be 'exact' or 'bloom', got {dedup_mode!r}")
+    left off. ``watermark_delay`` only applies to ``dedup_mode="watermark"``
+    — set it to the source's real reordering bound."""
+    if dedup_mode not in ("exact", "bloom", "watermark"):
+        raise ValueError(
+            f"dedup_mode must be 'exact', 'bloom' or 'watermark', got {dedup_mode!r}"
+        )
     schema = spark.read.parquet(records_dir).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
@@ -72,6 +90,60 @@ def stream_items(
 
     bloom_path = f"{checkpoint_dir}/seen_bloom"
     n_batches = {"n": 0}
+
+    if dedup_mode == "watermark":
+        from pyspark.sql import functions as F
+
+        from warc2zim_spark.operators.items import item_rows
+
+        # two chained availableNow queries: the J1 pairing window inside
+        # content_records is not streaming-legal, so stage 1 runs it in
+        # batch context per micro-batch (file-based triggers deliver whole
+        # WARC files, and pairing is per-file — same invariant as the batch
+        # path) into a staging dir; stage 2 is the streaming-native dedup
+        # whose per-key state the watermark BOUNDS (the point of the mode).
+        staging = f"{checkpoint_dir}/staging"
+
+        def stage_batch(batch_df, batch_id: int) -> None:
+            item_rows(
+                content_records(batch_df), include_domains, keep_cols=("warc_date",)
+            ).write.mode("append").parquet(staging)
+
+        q1 = (
+            stream.writeStream.foreachBatch(stage_batch)
+            .option("checkpointLocation", f"{checkpoint_dir}/stage")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q1.awaitTermination()
+
+        staged = _read_parquet_if_exists(spark, staging)
+        if staged is None:
+            return 0
+        reader2 = spark.readStream.schema(staged.schema)
+        if max_files_per_trigger is not None:
+            reader2 = reader2.option("maxFilesPerTrigger", max_files_per_trigger)
+        deduped = (
+            reader2.parquet(staging)
+            # ingest stores WARC-Date as TIMESTAMP_NTZ (it is UTC by spec);
+            # the event-time watermark requires TIMESTAMP
+            .withColumn("_evt", F.col("warc_date").cast("timestamp"))
+            .withWatermark("_evt", watermark_delay)
+            .dropDuplicatesWithinWatermark(["zim_path"])
+        )
+
+        def append_batch(batch_df, batch_id: int) -> None:
+            batch_df.drop("warc_date", "_evt").write.mode("append").parquet(out_dir)
+            n_batches["n"] += 1
+
+        q2 = (
+            deduped.writeStream.foreachBatch(append_batch)
+            .option("checkpointLocation", f"{checkpoint_dir}/dedup")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination()
+        return n_batches["n"]
 
     def process_batch(batch_df, batch_id: int) -> None:
         from warc2zim_spark.frontier.seenfilter import (
