@@ -268,7 +268,35 @@ def run_scaling_workload(cpus: int, sf_dir: str, k: int | None = None) -> dict:
     }
 
 
+def run_scale_probe(cpus: int, sf_dir: str) -> dict:
+    """Shape-regression probe (r03 verdict #9): the same three core stages
+    at 2x and 20x replicated inputs on the SAME parallelism. For a linear
+    plan, time grows ~ rows; a super-linear ``growth`` (time-ratio divided
+    by row-ratio) well above 1 flags a shape that broke — the r02 salting
+    regression would have shown here as growth ≈ 3 instead of inside the
+    noise band. Run once per round; results recorded in BENCH/BASELINE.md."""
+    lo = run_scaling_workload(cpus, sf_dir, k=2)
+    hi = run_scaling_workload(cpus, sf_dir, k=20)
+    stages = {}
+    for stage, rows_key in (("items", "items"), ("text", "text"), ("crawl", "scheduled")):
+        t_lo, t_hi = lo["secs"][stage], hi["secs"][stage]
+        r_lo, r_hi = lo["rows"][rows_key], hi["rows"][rows_key]
+        row_ratio = r_hi / r_lo if r_lo else float("nan")
+        time_ratio = t_hi / t_lo if t_lo else float("nan")
+        stages[stage] = {
+            "t_2x": t_lo, "t_20x": t_hi,
+            "rows_2x": r_lo, "rows_20x": r_hi,
+            "time_ratio": round(time_ratio, 2),
+            "row_ratio": round(row_ratio, 2),
+            "growth": round(time_ratio / row_ratio, 2),
+        }
+    return {"scale_probe": {"cpus": cpus, "stages": stages}}
+
+
 def main() -> None:
+    if "--scale-probe" in sys.argv:
+        print(json.dumps(run_scale_probe(CPUS, SF_DIR)))
+        return
     if "--scaling-level" in sys.argv:
         cpus = int(sys.argv[sys.argv.index("--scaling-level") + 1])
         print(json.dumps(run_scaling_workload(cpus, SF_DIR)))

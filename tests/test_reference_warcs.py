@@ -394,3 +394,71 @@ class TestKiwixRedirectChain:
         expected = {r.zim_path for r in expected_items(content).collect()}
         kept_sources = {r.src_path for r in kept}
         assert all(t in expected | kept_sources for _, t in got)
+
+
+class TestExampleUtf8MainUrl:
+    """example-utf8.warc with the reference's own percent-encoded ``-u``
+    (test_warc_to_zim.py:46-48): the user main URL percent-DECODES into the
+    canonical key space (ZIM paths are unquoted, verify_warc_and_zim:184-185),
+    Main-Path lands on the ✓-bearing page, and every utf-8 path round-trips
+    through the full pipeline."""
+
+    MAIN_URL = "https://httpbin.org/anything/utf8=%E2%9C%93?query=test&a=b&1=%E2%9C%93"
+    MAIN_PATH = "httpbin.org/anything/utf8=✓?query=test&a=b&1=✓"
+
+    def test_pipeline_main_path_unquoted(self, spark, tmp_path):
+        from warc2zim_spark.plans.pipeline import run_pipeline
+
+        d = tmp_path / "warcs"
+        d.mkdir()
+        shutil.copy(REF_DATA / "example-utf8.warc", d)
+        out = tmp_path / "out"
+        run_pipeline(
+            spark, str(d), str(out), name="utf8", main_url=self.MAIN_URL
+        )
+        meta = {
+            r.name: r.value
+            for r in spark.read.parquet(str(out / "metadata")).collect()
+        }
+        assert meta["Main-Path"] == self.MAIN_PATH
+        items = {
+            r.zim_path for r in spark.read.parquet(str(out / "items")).collect()
+        }
+        assert self.MAIN_PATH in items
+        assert "httpbin.org/anything/Saint-Exupéry?foo=bar" in items
+        assert "httpbin.org/anything/test?foo=é" in items
+
+
+class TestReturnCodeRedirectTargets:
+    """http-return-codes.warc.gz beyond the exist/ignored matrix: every
+    KEPT -ok redirect must resolve (following kept-redirect hops) to an
+    item with a non-empty body — the reference's ZIM would otherwise serve
+    a dangling redirect (verify_warc_and_zim:193-195 asserts redirects are
+    handled; assert_item_exist on each -ok source implies a live target)."""
+
+    def test_kept_redirects_resolve_to_nonempty_items(self, spark, tmp_path):
+        from warc2zim_spark.operators.gather import expected_items
+        from warc2zim_spark.operators.items import items_table
+        from warc2zim_spark.operators.redirects import (
+            kept_redirects,
+            redirect_edges,
+        )
+
+        content = _content(spark, tmp_path, "http-return-codes.warc.gz")
+        kept = {
+            r.src_path: r.tgt_path
+            for r in kept_redirects(
+                redirect_edges(content), expected_items(content)
+            ).collect()
+        }
+        # every -ok redirect source from the reference matrix is kept
+        ok_sources = {f"{HOST}/{p}" for p in HTTP_CODES_EXIST if "redirect-ok" in p}
+        assert ok_sources <= set(kept)
+        payload = {
+            r.zim_path: r.payload_len for r in items_table(content).collect()
+        }
+        for src in ok_sources:
+            cur, hops = kept[src], 0
+            while cur in kept and hops < 8:  # follow kept-redirect hops
+                cur, hops = kept[cur], hops + 1
+            assert cur in payload and payload[cur] > 0, (src, cur)
