@@ -32,7 +32,7 @@ def _probe_decode_failure(
     payload: bytes,
     http_charset: str | None,
     mode: str,
-    opts: _decode.DecodeOptions,
+    opts: "_decode.DecodeOptions | dict[str, str] | None" = None,
 ) -> str | None:
     """Would ``to_string(payload, ...)`` raise? Answered WITHOUT decoding
     the full payload on the common paths — at 100 TB a failure-detection
@@ -42,7 +42,14 @@ def _probe_decode_failure(
     itself (unknown name → LookupError, non-bytes codec → TypeError), which
     a header-bytes decode probes exactly. Tier (c) (no declared/header
     charset) strict-decodes the whole payload by definition — only that
-    rare path pays full cost."""
+    rare path pays full cost.
+
+    ``opts``: a DecodeOptions, or (legacy shape) a bare extra-aliases dict
+    or None for defaults."""
+    if opts is None:
+        opts = _decode.DecodeOptions()
+    elif isinstance(opts, dict):
+        opts = _decode.DecodeOptions(extra_aliases=opts)
     try:
         declared = (
             _decode.sniff_declared_charset(payload, opts.header_bytes)
