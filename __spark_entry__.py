@@ -1379,7 +1379,19 @@ def _doc_sql(sf: str = "sf0.01") -> dict[str, str]:
                        / CAST(CASE WHEN length(coalesce(d.text, '')) > 0
                               THEN length(coalesce(d.text, '')) ELSE 1 END AS DOUBLE), 6) AS alpha_ratio,
                  CASE WHEN trim(coalesce(d.text, '')) = '' THEN 0
-                      ELSE len(string_split_regex(trim(coalesce(d.text, '')), '\\s+')) END AS n_tokens_ws
+                      ELSE len(string_split_regex(trim(coalesce(d.text, '')), '\\s+')) END AS n_tokens_ws,
+                 round(CASE WHEN len(list_filter(list_transform(
+                          string_split(coalesce(d.text, ''), chr(10)), x -> trim(x)), x -> x <> '')) = 0
+                       THEN 0.0
+                       ELSE 1.0 - len(list_distinct(list_filter(list_transform(
+                              string_split(coalesce(d.text, ''), chr(10)), x -> trim(x)), x -> x <> '')))
+                            / CAST(len(list_filter(list_transform(
+                              string_split(coalesce(d.text, ''), chr(10)), x -> trim(x)), x -> x <> '')) AS DOUBLE)
+                       END, 6) AS dup_line_frac,
+                 round(CASE WHEN trim(coalesce(d.text, '')) = '' THEN 0.0
+                       ELSE 1.0 - len(list_distinct(string_split_regex(trim(coalesce(d.text, '')), '\\s+')))
+                            / CAST(len(string_split_regex(trim(coalesce(d.text, '')), '\\s+')) AS DOUBLE)
+                       END, 6) AS dup_token_frac
           FROM documents d JOIN {dg} g ON d.doc_id = g.doc_id
         """,
         # the approximate indexes' neighbor sets are not SQL-derivable, but

@@ -435,3 +435,36 @@ class TestPortableSampleKey:
                 docs, strata_col="lang", n_per_stratum=1, id_col="doc_id",
                 key="md5", prefilter_fraction=0.5,
             ).collect()
+
+
+class TestRepetitionStats:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1 shape):
+    dup_line_frac / dup_token_frac as pure JVM array expressions, pinned
+    on hand-computed fixtures."""
+
+    def test_hand_computed_fractions(self, spark):
+        from warc2zim_spark.operators.textops import text_stats
+
+        docs = spark.createDataFrame(
+            [
+                # 4 non-empty lines, 2 distinct -> dup_line 0.5;
+                # tokens: a b / a b / c d / c d -> 8 tokens 4 distinct -> 0.5
+                (1, "a b\na b\n\nc d\n  c d  "),
+                # all unique
+                (2, "one two three\nfour five"),
+                # empty / null
+                (3, ""),
+                (4, None),
+                # single repeated token
+                (5, "spam spam spam spam"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in text_stats(docs).collect()}
+        assert rows[1].dup_line_frac == 0.5
+        assert rows[1].dup_token_frac == 0.5
+        assert rows[2].dup_line_frac == 0.0
+        assert rows[2].dup_token_frac == 0.0
+        assert rows[3].dup_line_frac == 0.0 and rows[3].dup_token_frac == 0.0
+        assert rows[4].dup_line_frac == 0.0 and rows[4].dup_token_frac == 0.0
+        assert rows[5].dup_token_frac == 0.75

@@ -40,12 +40,46 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def repetition_columns(text_col) -> dict:
+    """Gopher-style repetition signals as pure JVM array expressions (Rae
+    et al. 2021 §A1.1 repetition filters, re-expressed over Spark arrays —
+    no UDF, no explode, no join):
+
+    * ``dup_line_frac``  — 1 − distinct/total over trimmed non-empty lines
+      (boilerplate and scraped-menu pages repeat whole lines);
+    * ``dup_token_frac`` — 1 − distinct/total over whitespace tokens
+      (keyword-stuffed and template pages repeat words).
+    """
+    txt = F.coalesce(text_col, F.lit(""))
+    lines = F.filter(
+        F.transform(F.split(txt, "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    n_lines = F.size(lines)
+    dup_line = F.when(
+        n_lines > 0,
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(lines)) / n_lines.cast("double"), 6
+        ),
+    ).otherwise(F.lit(0.0))
+    tokens = F.split(F.trim(txt), r"\s+")
+    n_tok = F.when(F.trim(txt) == "", F.lit(0)).otherwise(F.size(tokens))
+    dup_token = F.when(
+        n_tok > 0,
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(tokens)) / n_tok.cast("double"), 6
+        ),
+    ).otherwise(F.lit(0.0))
+    return {"dup_line_frac": dup_line, "dup_token_frac": dup_token}
+
+
 def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """One-pass combined per-document stats: language-ID + quality profile +
-    whitespace token count — a single narrow projection (no joins, one scan;
-    the langid Arrow UDF is the only Python piece, everything else stays in
-    whole-stage codegen)."""
+    whitespace token count + Gopher-style repetition fractions — a single
+    narrow projection (no joins, one scan; the langid Arrow UDF is the only
+    Python piece, everything else stays in whole-stage codegen)."""
     q = quality_columns(F.col(text_col))
+    rep = repetition_columns(F.col(text_col))
     return docs.select(
         F.col(id_col).alias("doc_id"),
         udfs.langid(F.col(text_col)).alias("lang_pred"),
@@ -54,6 +88,8 @@ def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         q["punct_ratio"].alias("punct_ratio"),
         q["alpha_ratio"].alias("alpha_ratio"),
         token_count_ws(F.col(text_col)).cast("long").alias("n_tokens_ws"),
+        rep["dup_line_frac"].alias("dup_line_frac"),
+        rep["dup_token_frac"].alias("dup_token_frac"),
     )
 
 
