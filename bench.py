@@ -275,20 +275,25 @@ def run_scale_probe(cpus: int, sf_dir: str) -> dict:
     by row-ratio) well above 1 flags a shape that broke — the r02 salting
     regression would have shown here as growth ≈ 3 instead of inside the
     noise band. Run once per round; results recorded in BENCH/BASELINE.md."""
-    lo = run_scaling_workload(cpus, sf_dir, k=2)
-    hi = run_scaling_workload(cpus, sf_dir, k=20)
+    k_lo, k_hi = 2, 20
+    lo = run_scaling_workload(cpus, sf_dir, k=k_lo)
+    hi = run_scaling_workload(cpus, sf_dir, k=k_hi)
+    # the INPUT grows exactly k-proportionally for every stage; output rows
+    # do not (first-wins dedup collapses the k url-replicas to one item
+    # set, which is precisely the k-way dedup work the replication exists
+    # to create), so growth normalizes time by the INPUT ratio
+    input_ratio = k_hi / k_lo
     stages = {}
     for stage, rows_key in (("items", "items"), ("text", "text"), ("crawl", "scheduled")):
         t_lo, t_hi = lo["secs"][stage], hi["secs"][stage]
-        r_lo, r_hi = lo["rows"][rows_key], hi["rows"][rows_key]
-        row_ratio = r_hi / r_lo if r_lo else float("nan")
         time_ratio = t_hi / t_lo if t_lo else float("nan")
         stages[stage] = {
-            "t_2x": t_lo, "t_20x": t_hi,
-            "rows_2x": r_lo, "rows_20x": r_hi,
+            f"t_{k_lo}x": t_lo, f"t_{k_hi}x": t_hi,
+            f"out_rows_{k_lo}x": lo["rows"][rows_key],
+            f"out_rows_{k_hi}x": hi["rows"][rows_key],
             "time_ratio": round(time_ratio, 2),
-            "row_ratio": round(row_ratio, 2),
-            "growth": round(time_ratio / row_ratio, 2),
+            "input_ratio": input_ratio,
+            "growth": round(time_ratio / input_ratio, 2),
         }
     return {"scale_probe": {"cpus": cpus, "stages": stages}}
 
