@@ -384,3 +384,83 @@ class TestMetadataCliFlags:
         meta = {r.name for r in spark.read.parquet(str(out / "metadata")).collect()}
         # parity: the reference stores args.source but writes no Source row
         assert "Source" not in meta
+
+
+class TestTwoPhaseNarrowedProbe:
+    """Narrowed --charsets-to-try with BOTH payload_head and payload
+    present runs the two-phase probe: head-only classification, full
+    payload shipped only for the tier-(c) residue. Must equal the
+    single-pass full-payload probe row-for-row."""
+
+    def test_two_phase_equals_single_pass(self, spark):
+        from pyspark.sql import functions as F
+
+        from warc2zim_spark.kernels.decode import DecodeOptions
+        from warc2zim_spark.operators.quarantine import quarantined_records
+
+        rows = [
+            # tier (a) failure: declared unknown codec (head-decidable)
+            (1, 1, "response", "t.example/a.html", "https://t.example/a.html",
+             "text/html", None, "GET", 200, 60,
+             b'<html><meta charset="no-such-codec"><body>x</body></html>', None),
+            # tier (b) failure: lying HTTP header (head-decidable)
+            (1, 2, "response", "t.example/b.css", "text/css", None),
+            # tier (c) failure: non-ascii, no charset anywhere, ascii-only list
+            (1, 3, "response", "t.example/c.css", "text/css", None),
+            # tier (c) pass: pure-ascii body
+            (1, 4, "response", "t.example/d.css", "text/css", None),
+        ]
+        # expand the shorthand rows
+        full_rows = [rows[0]] + [
+            (1, 2, "response", "t.example/b.css", "https://t.example/b.css",
+             "text/css", None, "GET", 200, 6, b"body{}", "no-such-codec"),
+            (1, 3, "response", "t.example/c.css", "https://t.example/c.css",
+             "text/css", None, "GET", 200, 7, "h\xe9llo {}".encode(), None),
+            (1, 4, "response", "t.example/d.css", "https://t.example/d.css",
+             "text/css", None, "GET", 200, 7, b"a { b }", None),
+        ]
+        base = spark.createDataFrame(
+            full_rows,
+            "file_seq int, rec_seq int, rec_type string, zim_path string, "
+            "effective_url string, mime string, resourcetype string, "
+            "p_method string, status int, payload_len long, "
+            "payload binary, http_charset string",
+        )
+        both = base.withColumn(
+            "payload_head", F.expr("substring(payload, 1, 1024)")
+        )
+        opts = DecodeOptions(charsets_to_try=("ascii",))
+        single = {
+            (r.zim_path, r.rec_seq, r.stage, r.reason.split(":")[0])
+            for r in quarantined_records(base, decode_options=opts).collect()
+        }
+        two = {
+            (r.zim_path, r.rec_seq, r.stage, r.reason.split(":")[0])
+            for r in quarantined_records(both, decode_options=opts).collect()
+        }
+        assert two == single
+        assert {z for z, *_ in two} == {
+            "t.example/a.html", "t.example/b.css", "t.example/c.css"
+        }
+
+    def test_wide_sniff_window_falls_back_to_single_pass(self, spark):
+        """header_bytes beyond the 1-KiB ingest head cannot use the
+        two-phase head pass — declaration may sit past the column. Must
+        still find a >1KiB-deep declared failure."""
+        from pyspark.sql import functions as F
+
+        from warc2zim_spark.kernels.decode import DecodeOptions
+        from warc2zim_spark.operators.quarantine import quarantined_records
+
+        html = b"<html><!--" + b"x" * 2000 + b'--><meta charset="no-such-codec">'
+        df = spark.createDataFrame(
+            [(1, 1, "response", "t.example/deep.html", "https://t.example/deep.html",
+              "text/html", None, "GET", 200, len(html), html, None)],
+            "file_seq int, rec_seq int, rec_type string, zim_path string, "
+            "effective_url string, mime string, resourcetype string, "
+            "p_method string, status int, payload_len long, "
+            "payload binary, http_charset string",
+        ).withColumn("payload_head", F.expr("substring(payload, 1, 1024)"))
+        opts = DecodeOptions(charsets_to_try=("ascii",), header_bytes=4096)
+        rows = quarantined_records(df, decode_options=opts).collect()
+        assert len(rows) == 1 and rows[0].reason.startswith("LookupError")

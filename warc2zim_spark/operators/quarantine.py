@@ -130,6 +130,84 @@ def make_decode_error_udf(
 
 decode_error = make_decode_error_udf()
 
+_TIER_C = "\x00tierc"  # phase-A sentinel: record reaches the strict try-list
+
+
+def make_head_phase_udf(options: "_decode.DecodeOptions"):
+    """Phase A of the two-phase narrowed-try-list probe: classify each
+    record from its FIRST-KiB head alone — tier (a)/(b) outcomes (ok or a
+    codec failure) are fully decidable from the declaration window + codec
+    name; records that fall through to tier (c) return the ``_TIER_C``
+    sentinel so only THAT subset's full payloads are ever shipped."""
+    opts = options
+
+    @pandas_udf(StringType())
+    def head_phase(
+        heads: pd.Series, http_charsets: pd.Series, modes: pd.Series
+    ) -> pd.Series:
+        out = []
+        for head, charset, mode in zip(heads, http_charsets, modes):
+            if head is None:
+                out.append(None)
+                continue
+            head = bytes(head)
+            try:
+                declared = (
+                    _decode.sniff_declared_charset(head, opts.header_bytes)
+                    if mode == "html" and not opts.ignore_content_header_charsets
+                    else None
+                )
+                if declared is not None:
+                    head.decode(
+                        _decode.resolve_encoding_alias(declared, opts.extra_aliases),
+                        errors="replace",
+                    )
+                    out.append(None)
+                    continue
+                if charset and not opts.ignore_http_header_charsets:
+                    head.decode(
+                        _decode.resolve_encoding_alias(charset, opts.extra_aliases),
+                        errors="replace",
+                    )
+                    out.append(None)
+                    continue
+                out.append(_TIER_C)
+            except Exception as exc:  # noqa: BLE001 — the guard IS the feature
+                out.append(f"{type(exc).__name__}: {exc}"[:200])
+        return pd.Series(out)
+
+    return head_phase
+
+
+def make_strict_decode_udf(options: "_decode.DecodeOptions"):
+    """Phase B: strict try-list decode of the FULL payload — only tier-(c)
+    rows reach this."""
+    opts = options
+
+    @pandas_udf(StringType())
+    def strict_decode(payloads: pd.Series) -> pd.Series:
+        out = []
+        for payload in payloads:
+            if payload is None:
+                out.append(None)
+                continue
+            try:
+                _decode.to_string(
+                    bytes(payload),
+                    None,
+                    opts.try_list(),
+                    opts.header_bytes,
+                    ignore_content_header_charsets=True,
+                    ignore_http_header_charsets=True,
+                    extra_aliases=opts.extra_aliases,
+                )
+                out.append(None)
+            except Exception as exc:  # noqa: BLE001
+                out.append(f"{type(exc).__name__}: {exc}"[:200])
+        return pd.Series(out)
+
+    return strict_decode
+
 
 def quarantined_records(
     content_with_payload: DataFrame,
@@ -145,8 +223,14 @@ def quarantined_records(
     needs the declaration window plus the codec name (the default list ends
     in ISO-8859-1, so tier (c) cannot fail and head ≡ full for failure
     detection). A user-NARROWED ``--charsets-to-try`` makes tier (c)
-    strict-decode fallible over the whole payload, so that path reads the
-    full bytes — correctness over the 1-KiB IO cut, only when asked for.
+    strict-decode fallible over the whole payload; when BOTH columns are
+    present (and the sniff window fits the head column) that case runs
+    TWO-PHASE: a head-only pass classifies every record (tier a/b outcomes
+    are head-decidable), and only the tier-(c) residue — records with no
+    declared and no usable HTTP charset, typically a small fraction of a
+    real corpus — ships its full payload through Arrow for the strict
+    decode. Only a frame carrying just ``payload`` falls back to the
+    single-pass full-payload probe.
 
     ``decode_options`` is the reference's decode-tuning CLI surface
     (main.py:113-143); ``encoding_aliases`` rows merge over its aliases."""
@@ -156,36 +240,79 @@ def quarantined_records(
         F.col("zim_path"),
         F.col("p_method"),
     )
-    err_udf = (
-        decode_error
-        if encoding_aliases is None and decode_options is None
-        else make_decode_error_udf(encoding_aliases, decode_options)
-    )
-    narrowed_try_list = (
-        decode_options is not None and decode_options.charsets_to_try is not None
-    )
-    bytes_col = (
-        F.col("payload_head")
-        if "payload_head" in content_with_payload.columns and not narrowed_try_list
-        else F.col("payload")
-    )
-    return (
+    opts = decode_options if decode_options is not None else _decode.DecodeOptions()
+    if encoding_aliases:
+        import dataclasses as _dc
+
+        opts = _dc.replace(
+            opts, extra_aliases={**(opts.extra_aliases or {}), **encoding_aliases}
+        )
+    narrowed_try_list = opts.charsets_to_try is not None
+    cols = content_with_payload.columns
+
+    base = (
         content_with_payload.filter(F.col("rec_type") == "response")
         .withColumn("stage", mode)
         .filter(F.col("stage").isNotNull())
-        .withColumn(
+    )
+    out_cols = [
+        "zim_path",
+        F.col("effective_url").alias("url"),
+        F.col("file_seq"),
+        F.col("rec_seq"),
+        F.col("stage"),
+        F.col("reason"),
+    ]
+
+    two_phase = (
+        narrowed_try_list
+        and "payload_head" in cols
+        and "payload" in cols
+        and opts.header_bytes <= 1024  # the ingest head column's width
+    )
+    if two_phase:
+        # phase A: head-only scan (payload pruned from this projection)
+        head_udf = make_head_phase_udf(opts)
+        phase_a = base.select(
+            "zim_path", "effective_url", "file_seq", "rec_seq", "stage",
+            head_udf(
+                F.col("payload_head"), F.col("http_charset"), F.col("stage")
+            ).alias("reason"),
+        )
+        fails_ab = phase_a.filter(
+            F.col("reason").isNotNull() & (F.col("reason") != _TIER_C)
+        ).select(*out_cols)
+        tierc_keys = phase_a.filter(F.col("reason") == _TIER_C).select(
+            "file_seq", "rec_seq"
+        )
+        # phase B: full payload only for the tier-(c) residue (broadcast
+        # semi-join keys against a payload-bearing scan)
+        strict_udf = make_strict_decode_udf(opts)
+        fails_c = (
+            base.join(F.broadcast(tierc_keys), ["file_seq", "rec_seq"], "left_semi")
+            .withColumn("reason", strict_udf(F.col("payload")))
+            .filter(F.col("reason").isNotNull())
+            .select(*out_cols)
+        )
+        return fails_ab.unionByName(fails_c)
+
+    err_udf = (
+        decode_error
+        if encoding_aliases is None and decode_options is None
+        else make_decode_error_udf(options=opts)
+    )
+    bytes_col = (
+        F.col("payload_head")
+        if "payload_head" in cols and not narrowed_try_list
+        else F.col("payload")
+    )
+    return (
+        base.withColumn(
             "reason",
             err_udf(bytes_col, F.col("http_charset"), F.col("stage")),
         )
         .filter(F.col("reason").isNotNull())
-        .select(
-            "zim_path",
-            F.col("effective_url").alias("url"),
-            "file_seq",
-            "rec_seq",
-            "stage",
-            "reason",
-        )
+        .select(*out_cols)
     )
 
 

@@ -132,13 +132,15 @@ def run_pipeline(
 
     # head-only content stream: the probe reads the 1-KiB payload_head
     # column, never the full payload bytes — unless a narrowed try-list
-    # makes tier (c) fallible over the whole payload (see quarantined_records)
+    # makes tier (c) fallible, in which case quarantined_records runs its
+    # two-phase form (head classification, full payload for the tier-c
+    # residue only), so the payload column is requested alongside the head
     narrowed = (
         decode_options is not None
         and getattr(decode_options, "charsets_to_try", None) is not None
     )
     fails = quarantined_records(
-        content_records(records, with_payload=narrowed, with_head=not narrowed),
+        content_records(records, with_payload=narrowed, with_head=True),
         encoding_aliases=encoding_aliases,
         decode_options=decode_options,
     ).cache()
