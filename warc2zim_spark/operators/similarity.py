@@ -316,7 +316,16 @@ def ivf_topk(
     # r03 literal-struct form that grew an expression node per coefficient.
     spark = corpus.sparkSession
     cent_df = spark.createDataFrame(
-        [(i, [float(x) for x in center]) for i, center in enumerate(model.clusterCenters())],
+        pd.DataFrame(
+            {
+                "list_id": np.arange(n_lists, dtype=np.int32),
+                "centroid": [
+                    np.asarray(c, dtype=np.float64) for c in model.clusterCenters()
+                ],
+            }
+        ),
+        # pandas input → Arrow transfer: at FAISS-scale n_lists × dim the
+        # per-row pickle path would ship gigabytes through the driver slowly
         "list_id int, centroid array<double>",
     )
     q_base = with_norm(queries, vec_col).select(
