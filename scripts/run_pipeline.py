@@ -23,8 +23,24 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--webdata", required=True)
-    parser.add_argument("--out", required=True)
-    parser.add_argument("--include-domains", nargs="*", default=None)
+    # output location: either the engine-native --out DIR, or the
+    # reference's --output/--zim-file pair (main.py:64-67; converter.py:
+    # 142-150 computes zim_file from name + %Y-%m when absent) — the sink
+    # directory plays the ZIM file's role
+    parser.add_argument("--out", default=None)
+    parser.add_argument("--output", default=None, help="reference-style output dir")
+    parser.add_argument("--zim-file", default=None, dest="zim_file")
+    # reference converter.py:152-158: refuse to clobber without --overwrite
+    parser.add_argument("--overwrite", action="store_true")
+    parser.add_argument("-i", "--include-domains", nargs="*", default=None)
+    # reference main.py:80-84 / 98-103
+    parser.add_argument("--progress-file", default=None)
+    parser.add_argument("--failed-items", default="fails")
+    parser.add_argument("-v", "--verbose", action="store_true")
+    parser.add_argument(
+        "-V", "--version", action="version",
+        version=__import__("warc2zim_spark").__version__,
+    )
     # reference CLI metadata flags (converter.py:121-127)
     parser.add_argument("--name", default="warc2zim-spark-output")
     parser.add_argument("--title", default=None)
@@ -37,9 +53,9 @@ def main() -> None:
     parser.add_argument("--custom-css", default=None, help="path to a css file")
     # reference main.py:26 — the user-chosen main page URL; redirect-followed
     # and existence-checked before Main-Path is written
-    parser.add_argument("--url", default=None, dest="main_url")
+    parser.add_argument("-u", "--url", default=None, dest="main_url")
     # reference main.py:40 — favicon URL overriding icon discovery
-    parser.add_argument("--favicon", default=None, dest="favicon_url")
+    parser.add_argument("-f", "--favicon", default=None, dest="favicon_url")
     # reference main.py:92-103 — skip failing records instead of aborting
     parser.add_argument("--continue-on-error", action="store_true")
     # reference main.py:144-158 — per-run charset alias rows, alias=encoding
@@ -66,9 +82,33 @@ def main() -> None:
     parser.add_argument("--wave-budget", type=int, default=1000)
     args = parser.parse_args()
 
+    import time as _time
+
+    if args.out is not None:
+        out_dir = args.out
+    elif args.output is not None:
+        zim_file = args.zim_file or "{name}_{period}".format(
+            name=args.name, period="{period}"
+        )
+        # converter.py:149: a literal {period} placeholder expands to %Y-%m
+        zim_file = zim_file.format(period=_time.strftime("%Y-%m"))
+        out_dir = os.path.join(args.output, zim_file)
+    else:
+        parser.error("one of --out or --output is required")
+    if os.path.exists(out_dir) and os.listdir(out_dir):
+        if not args.overwrite:
+            # converter.py:152-158 exits 2 rather than clobbering
+            print(
+                f"Output already exists: {out_dir}. Use --overwrite to replace it.",
+                file=sys.stderr,
+            )
+            sys.exit(2)
+
     from pyspark.sql import SparkSession
 
     spark = SparkSession.builder.appName("warc2zim_spark").getOrCreate()
+    if args.verbose:
+        spark.sparkContext.setLogLevel("INFO")
     from warc2zim_spark.plans.pipeline import run_pipeline
 
     custom_css = None
@@ -87,7 +127,7 @@ def main() -> None:
         ignore_http_header_charsets=args.ignore_http_header_charsets,
     )
     metrics = run_pipeline(
-        spark, args.webdata, args.out, args.include_domains,
+        spark, args.webdata, out_dir, args.include_domains,
         name=args.name, custom_css=custom_css,
         main_url=args.main_url, favicon_url=args.favicon_url,
         continue_on_error=args.continue_on_error,
@@ -95,6 +135,8 @@ def main() -> None:
         disable_metadata_checks=args.disable_metadata_checks,
         scraper_suffix=args.scraper_suffix,
         source=args.source,
+        failed_items=args.failed_items,
+        progress_file=args.progress_file,
         encoding_aliases=(
             dict(p.split("=", 1) for p in args.encoding_aliases)
             if args.encoding_aliases else None
@@ -115,7 +157,7 @@ def main() -> None:
         robots = spark.read.parquet(f"{args.webdata}/robots.parquet")
         pages = spark.read.parquet(f"{args.webdata}/pages.parquet")
         schedule = resume_crawl(
-            spark, seeds, pages, robots, f"{args.out}/crawl",
+            spark, seeds, pages, robots, f"{out_dir}/crawl",
             max_waves=args.max_waves,
             host_budget=args.host_budget,
             wave_budget=args.wave_budget,

@@ -464,3 +464,44 @@ class TestTwoPhaseNarrowedProbe:
         opts = DecodeOptions(charsets_to_try=("ascii",), header_bytes=4096)
         rows = quarantined_records(df, decode_options=opts).collect()
         assert len(rows) == 1 and rows[0].reason.startswith("LookupError")
+
+
+class TestCliSurface:
+    """scripts/run_pipeline.py parity flags added in r04: reference-style
+    --output/--zim-file, --overwrite refusal (exit 2, converter.py:152-158),
+    --progress-file JSON contract, --failed-items relocation."""
+
+    def test_output_zimfile_progress_failed_items_overwrite(self, webdata, tmp_path):
+        import json
+        import subprocess
+        import sys
+
+        out_root = tmp_path / "outroot"
+        cmd = [
+            sys.executable, "scripts/run_pipeline.py",
+            "--webdata", webdata,
+            "--output", str(out_root), "--zim-file", "mysite.zimdir",
+            "--name", "cli-test", "--continue-on-error",
+            "--progress-file", "prog.json",
+            "--failed-items", "quarantine",
+        ]
+        r1 = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+        assert r1.returncode == 0, r1.stderr[-2000:]
+        out = out_root / "mysite.zimdir"
+        metrics = json.loads((out / "metrics.json").read_text())
+        assert metrics["items"] > 0
+        # --failed-items relocated the fails sink
+        assert (out / "quarantine").exists()
+        assert not (out / "fails").exists()
+        # --progress-file: reference JSON contract, relative to output
+        prog = json.loads((out / "prog.json").read_text())
+        assert set(prog) == {"written", "total"}
+        assert prog["written"] == prog["total"] > 0
+        # re-run without --overwrite: converter.py:152-158 refusal, exit 2
+        r2 = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+        assert r2.returncode == 2
+        assert "overwrite" in r2.stderr.lower()
+        # with --overwrite it runs again
+        r3 = subprocess.run(cmd + ["--overwrite"], capture_output=True,
+                            text=True, timeout=600)
+        assert r3.returncode == 0, r3.stderr[-2000:]

@@ -57,6 +57,8 @@ def run_pipeline(
     disable_metadata_checks: bool = False,
     scraper_suffix: str | None = None,
     source: str | None = None,
+    failed_items: str = "fails",
+    progress_file: str | None = None,
 ) -> dict:
     """Full pass1 + pass2 → tables under ``out_dir``; returns run metrics.
 
@@ -98,7 +100,19 @@ def run_pipeline(
 
     ``source``: accepted for CLI parity with main.py:77; the reference sets
     ``self.source`` (converter.py:135) but never writes Source metadata —
-    a write-only flag we mirror faithfully rather than invent behavior for."""
+    a write-only flag we mirror faithfully rather than invent behavior for.
+
+    ``failed_items``: the reference's ``--failed-items`` (main.py:98-103):
+    where the fails sink lands — absolute, or relative to ``out_dir``
+    (default ``fails``, the reference's own default).
+
+    ``progress_file``: the reference's ``--progress-file`` (main.py:80-84,
+    converter.py:233-262): write ``{"written": N, "total": N}`` JSON —
+    absolute, or relative to ``out_dir``. The reference updates it per
+    record inside its sequential loop; a distributed batch engine has no
+    meaningful mid-job record counter, so it is written per completed sink
+    stage (0/total at start, items count after the item sink, final at
+    end) — same file contract, stage granularity."""
     del source  # parity: reference never consumes it (converter.py:135)
     # validate user metadata BEFORE any distributed work (converter.py:279-294
     # "so that we do not waste time doing operations for a scraper which will
@@ -114,6 +128,19 @@ def run_pipeline(
     t0 = time.time()
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
+    fails_dir = Path(failed_items)
+    if not fails_dir.is_absolute():
+        fails_dir = out / fails_dir
+    progress_path = Path(progress_file) if progress_file else None
+    if progress_path is not None and not progress_path.is_absolute():
+        progress_path = out / progress_path
+
+    def _progress(written: int, total: int) -> None:
+        if progress_path is not None:
+            progress_path.write_text(
+                json.dumps({"written": written, "total": total})
+            )
+
     records = load_records(spark, webdata_dir)
     content = content_records(records).cache()
 
@@ -144,14 +171,14 @@ def run_pipeline(
         encoding_aliases=encoding_aliases,
         decode_options=decode_options,
     ).cache()
-    fails.write.mode("overwrite").parquet(str(out / "fails"))
+    fails.write.mode("overwrite").parquet(str(fails_dir))
     n_fails = fails.count()  # cached: counts the written frame, no re-scan
     if n_fails and not continue_on_error:
         sample = [r.url for r in fails.limit(3).collect()]
         raise ValueError(
             f"{n_fails} record(s) failed processing (e.g. {sample}); "
             f"aborting — pass continue_on_error=True to skip them "
-            f"(details in {out / 'fails'})"
+            f"(details in {fails_dir})"
         )
 
     # ---- pass 2: execute -------------------------------------------------
@@ -192,6 +219,7 @@ def run_pipeline(
     ).write.mode("overwrite").parquet(str(out / "expected"))
 
     n_all_items = obs_items.get["rows"]
+    _progress(int(n_all_items), int(n_all_items))
 
     # main page: --url override or A4 auto-selection, then the J5 redirect
     # follow — Main-Path must point at the FINAL target when the landing
@@ -283,6 +311,8 @@ def run_pipeline(
         "wall_s": round(time.time() - t0, 2),
     }
     (out / "metrics.json").write_text(json.dumps(metrics))
+    written = int(n_all_items) + int(metrics["redirects"]) + int(metrics["aliases"])
+    _progress(written, written)
     fails.unpersist()
     content.unpersist()
     return metrics
