@@ -462,3 +462,23 @@ class TestReturnCodeRedirectTargets:
             while cur in kept and hops < 8:  # follow kept-redirect hops
                 cur, hops = kept[cur], hops + 1
             assert cur in payload and payload[cur] > 0, (src, cur)
+
+
+class TestIconsHtmlRealLife:
+    """data-special/icons.html — the reference's real-world icon-discovery
+    fixture (test_icon_finder.py 'real_life' case): extract_icons must find
+    the same five icon URLs its icons_in_html pins. Read in place."""
+
+    def test_real_life_icon_set(self):
+        from warc2zim_spark.kernels.htmlmeta import extract_icons
+
+        html = (REF_SPECIAL / "icons.html").read_text()
+        base = "https://womenshistory.si.edu//sites/default/themes/si_sawhm/favicons/"
+        expected = {
+            base + "android-chrome-192x192.png",
+            base + "favicon-96x96.png",
+            base + "favicon-32x32.png",
+            base + "favicon.ico",
+            base + "favicon-16x16.png",
+        }
+        assert set(extract_icons(html)) == expected
