@@ -239,3 +239,34 @@ class TestWatermarkMode:
             "zim_path", "url", "mime", "status", "payload_len",
             "file_seq", "rec_seq", "is_front",
         }
+
+    def test_watermark_state_survives_reinvocation(self, spark, webdata, split_records, tmp_path):
+        """The dedup state store is checkpointed: a duplicate of an
+        already-emitted path arriving in a LATER invocation (same
+        checkpoint) must be suppressed, while genuinely new paths pass."""
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        from warc2zim_spark.streaming import stream_items
+
+        landing, paths = split_records
+        staged = tmp_path / "landing_restart"
+        staged.mkdir()
+        first = list(paths)[0]
+        shutil.copy(first, staged / "batch1.parquet")
+        out = tmp_path / "items_wm_restart"
+        ckpt = tmp_path / "ckpt_wm_restart"
+        kwargs = dict(dedup_mode="watermark", watermark_delay="240 hours")
+        stream_items(spark, str(staged), str(out), str(ckpt), **kwargs)
+        n1 = spark.read.parquet(str(out)).count()
+        # second invocation: re-deliver the SAME records (duplicates of
+        # everything already emitted) plus the remaining chunks (new paths)
+        shutil.copy(first, staged / "batch2_dup.parquet")
+        for i, p in enumerate(list(paths)[1:]):
+            shutil.copy(p, staged / f"batch3_{i}.parquet")
+        stream_items(spark, str(staged), str(out), str(ckpt), **kwargs)
+        got = spark.read.parquet(str(out))
+        all_paths = [r.zim_path for r in got.select("zim_path").collect()]
+        assert len(all_paths) == len(set(all_paths)), "cross-invocation duplicate"
+        assert got.count() > n1  # the new chunks' paths landed

@@ -102,6 +102,9 @@ def stream_items(
         # WARC files, and pairing is per-file — same invariant as the batch
         # path) into a staging dir; stage 2 is the streaming-native dedup
         # whose per-key state the watermark BOUNDS (the point of the mode).
+        # The staging dir grows with total ingest (narrow item rows, no
+        # payloads); a production deployment TTLs files older than the
+        # watermark delay — stage 2's checkpoint never re-reads them.
         staging = f"{checkpoint_dir}/staging"
 
         def stage_batch(batch_df, batch_id: int) -> None:
