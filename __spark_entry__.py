@@ -100,9 +100,13 @@ def q_w_run_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     records = _records(spark, sf_dir)
     from warc2zim_spark.operators.records import content_records
 
-    return date_range(content_records(records)).crossJoin(
-        warcinfo_software(records)
+    # aggregate the 0-or-1-row software frame to EXACTLY one row (NULL when
+    # no warcinfo exists) so the crossJoin can never wipe the date range —
+    # matching the oracle's scalar subquery semantics on warcinfo-less input
+    software_1row = warcinfo_software(records).agg(
+        F.min("software").alias("software")
     )
+    return date_range(content_records(records)).crossJoin(software_1row)
 
 
 def q_w_main_page(spark: SparkSession, sf_dir: str) -> DataFrame:

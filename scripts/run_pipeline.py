@@ -85,6 +85,9 @@ def main() -> None:
     import time as _time
 
     if args.out is not None:
+        # engine-native path: sinks are mode("overwrite") — re-runs into the
+        # same dir have always been allowed, so the reference's clobber
+        # refusal (which guards only ITS computed ZIM file) does not apply
         out_dir = args.out
     elif args.output is not None:
         zim_file = args.zim_file or "{name}_{period}".format(
@@ -93,16 +96,15 @@ def main() -> None:
         # converter.py:149: a literal {period} placeholder expands to %Y-%m
         zim_file = zim_file.format(period=_time.strftime("%Y-%m"))
         out_dir = os.path.join(args.output, zim_file)
-    else:
-        parser.error("one of --out or --output is required")
-    if os.path.exists(out_dir) and os.listdir(out_dir):
-        if not args.overwrite:
+        if os.path.exists(out_dir) and os.listdir(out_dir) and not args.overwrite:
             # converter.py:152-158 exits 2 rather than clobbering
             print(
                 f"Output already exists: {out_dir}. Use --overwrite to replace it.",
                 file=sys.stderr,
             )
             sys.exit(2)
+    else:
+        parser.error("one of --out or --output is required")
 
     from pyspark.sql import SparkSession
 

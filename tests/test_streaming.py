@@ -228,7 +228,7 @@ class TestWatermarkMode:
         )
         assert n >= 2  # genuinely micro-batched
 
-        got_df = spark.read.parquet(str(out))
+        got_df = spark.read.option("recursiveFileLookup", "true").parquet(str(out))
         got_paths = [r.zim_path for r in got_df.select("zim_path").collect()]
         assert len(got_paths) == len(set(got_paths)), "duplicate paths in sink"
         batch = items_table(content_records(load_records(spark, webdata)))
@@ -259,14 +259,15 @@ class TestWatermarkMode:
         ckpt = tmp_path / "ckpt_wm_restart"
         kwargs = dict(dedup_mode="watermark", watermark_delay="240 hours")
         stream_items(spark, str(staged), str(out), str(ckpt), **kwargs)
-        n1 = spark.read.parquet(str(out)).count()
+        rd = lambda: spark.read.option("recursiveFileLookup", "true").parquet(str(out))
+        n1 = rd().count()
         # second invocation: re-deliver the SAME records (duplicates of
         # everything already emitted) plus the remaining chunks (new paths)
         shutil.copy(first, staged / "batch2_dup.parquet")
         for i, p in enumerate(list(paths)[1:]):
             shutil.copy(p, staged / f"batch3_{i}.parquet")
         stream_items(spark, str(staged), str(out), str(ckpt), **kwargs)
-        got = spark.read.parquet(str(out))
+        got = rd()
         all_paths = [r.zim_path for r in got.select("zim_path").collect()]
         assert len(all_paths) == len(set(all_paths)), "cross-invocation duplicate"
         assert got.count() > n1  # the new chunks' paths landed

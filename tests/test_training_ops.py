@@ -468,3 +468,18 @@ class TestRepetitionStats:
         assert rows[3].dup_line_frac == 0.0 and rows[3].dup_token_frac == 0.0
         assert rows[4].dup_line_frac == 0.0 and rows[4].dup_token_frac == 0.0
         assert rows[5].dup_token_frac == 0.75
+
+
+class TestIvfFewCenters:
+    def test_ivf_with_fewer_distinct_points_than_lists(self, spark):
+        """KMeans returns fewer centers than n_lists when the corpus has
+        fewer distinct points — the centroid frame must size off the model,
+        not the requested n_lists (r04 self-review regression)."""
+        from warc2zim_spark.operators.similarity import ivf_topk
+
+        base = [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]]
+        rows = [(i, base[i % 3]) for i in range(12)]
+        corpus = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+        queries = corpus.filter(F.col("vec_id") < 2)
+        got = ivf_topk(corpus, queries, k=3, n_lists=8, n_probe=8).collect()
+        assert len(got) > 0  # no ValueError, real neighbors returned

@@ -99,24 +99,43 @@ def canonical_post_url(
     return pd.Series(out)
 
 
-@pandas_udf(StringType())
-def decode_payload(payloads: pd.Series, http_charsets: pd.Series, modes: pd.Series) -> pd.Series:
-    """3-tier charset decode — C2 (kernels/decode.py); None on failure (S10
-    quarantine semantics). ``mode``='html' enables the content-declaration
-    tier (rewriting.py:98-99)."""
-    out = []
-    for payload, charset, mode in zip(payloads, http_charsets, modes):
-        if payload is None:
-            out.append(None)
-            continue
-        out.append(
-            _decode.to_string_or_none(
-                bytes(payload),
-                charset if charset is not None else None,
-                ignore_content_header_charsets=(mode != "html"),
+def make_decode_payload_udf(options: "_decode.DecodeOptions | None" = None):
+    """3-tier charset decode UDF factory — C2 (kernels/decode.py); None on
+    failure (S10 quarantine semantics). ``mode``='html' enables the
+    content-declaration tier (rewriting.py:98-99). ``options`` carries the
+    decode-tuning CLI surface (main.py:113-158) so the SAME knobs that
+    drive the quarantine probe drive every actual decode — a rescued or
+    re-tuned record must decode the way the probe predicted."""
+    opts = options if options is not None else _decode.DecodeOptions()
+
+    @pandas_udf(StringType())
+    def decode_payload(
+        payloads: pd.Series, http_charsets: pd.Series, modes: pd.Series
+    ) -> pd.Series:
+        out = []
+        for payload, charset, mode in zip(payloads, http_charsets, modes):
+            if payload is None:
+                out.append(None)
+                continue
+            out.append(
+                _decode.to_string_or_none(
+                    bytes(payload),
+                    charset if charset is not None else None,
+                    opts.try_list(),
+                    opts.header_bytes,
+                    ignore_content_header_charsets=(
+                        mode != "html" or opts.ignore_content_header_charsets
+                    ),
+                    ignore_http_header_charsets=opts.ignore_http_header_charsets,
+                    extra_aliases=opts.extra_aliases,
+                )
             )
-        )
-    return pd.Series(out)
+        return pd.Series(out)
+
+    return decode_payload
+
+
+decode_payload = make_decode_payload_udf()
 
 
 @pandas_udf(StringType())

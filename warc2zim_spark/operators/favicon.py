@@ -59,10 +59,14 @@ def _image_dims(payloads: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"fmt": fmts, "width": ws, "height": hs})
 
 
-def favicon_candidates(records_with_payload: DataFrame, main: DataFrame) -> DataFrame:
+def favicon_candidates(
+    records_with_payload: DataFrame, main: DataFrame, decode_options=None
+) -> DataFrame:
     """(icon_url, icon_path) — the main page's declared icons resolved
     absolute + canonicalized, fallback /favicon.ico (converter.py:716-733).
-    ``main``: 1-row (zim_path, url). Output is a tiny frame."""
+    ``main``: 1-row (zim_path, url). Output is a tiny frame.
+    ``decode_options`` tunes the main-page HTML decode the icon scan reads
+    (same knobs as the quarantine probe — main.py:113-158)."""
     mp = main.limit(1).select(F.col("zim_path").alias("mp_path"),
                               F.col("url").alias("mp_url"))
     mp_record = (
@@ -73,7 +77,11 @@ def favicon_candidates(records_with_payload: DataFrame, main: DataFrame) -> Data
         .orderBy("file_seq", "rec_seq")
         .limit(1)
     )
-    html_str = udfs.decode_payload(
+    decode_udf = (
+        udfs.decode_payload if decode_options is None
+        else udfs.make_decode_payload_udf(decode_options)
+    )
+    html_str = decode_udf(
         F.col("payload"), F.col("http_charset"), F.lit("html")
     )
     icons = mp_record.select(
@@ -199,12 +207,12 @@ def illustration_from_url(
 
 
 def best_illustration(
-    records_with_payload: DataFrame, main: DataFrame
+    records_with_payload: DataFrame, main: DataFrame, decode_options=None
 ) -> DataFrame:
     """1-row (icon_url, fmt, width, height, illustration) — or 0 rows when
     no candidate parses (caller falls back to the default transparent PNG,
     converter.py:920-924)."""
-    candidates = favicon_candidates(records_with_payload, main)
+    candidates = favicon_candidates(records_with_payload, main, decode_options)
     captured = favicon_payloads(records_with_payload, candidates)
     return (
         ranked_icons(captured)

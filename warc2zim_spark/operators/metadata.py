@@ -152,6 +152,7 @@ def zim_metadata(
     illustration: bytes | None = None,
     main: DataFrame | None = None,
     validate: bool = True,
+    decode_options=None,
 ) -> DataFrame:
     """S7 — the full (name, value) metadata frame.
 
@@ -197,9 +198,11 @@ def zim_metadata(
         records.join(F.broadcast(mp_pos), ["file_seq", "rec_seq"], "left_semi")
         .select(
             udfs.extract_meta(
-                udfs.decode_payload(
-                    F.col("payload"), F.col("http_charset"), F.lit("html")
-                )
+                (
+                    udfs.decode_payload
+                    if decode_options is None
+                    else udfs.make_decode_payload_udf(decode_options)
+                )(F.col("payload"), F.col("http_charset"), F.lit("html"))
             ).alias("m")
         )
         .select(

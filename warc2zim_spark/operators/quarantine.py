@@ -278,7 +278,9 @@ def quarantined_records(
             head_udf(
                 F.col("payload_head"), F.col("http_charset"), F.col("stage")
             ).alias("reason"),
-        )
+        ).persist()  # feeds BOTH fails_ab and tierc_keys: without this the
+        # head-classification scan (the pass the two-phase design exists to
+        # keep cheap) would evaluate twice
         fails_ab = phase_a.filter(
             F.col("reason").isNotNull() & (F.col("reason") != _TIER_C)
         ).select(*out_cols)
@@ -296,6 +298,13 @@ def quarantined_records(
         )
         return fails_ab.unionByName(fails_c)
 
+    if narrowed_try_list and "payload" not in cols:
+        raise ValueError(
+            "a narrowed charsets_to_try makes tier (c) fallible over the FULL "
+            "payload, but this frame carries only payload_head — pass a frame "
+            "with the payload column (content_records(..., with_payload=True); "
+            "add with_head=True to enable the two-phase probe)"
+        )
     err_udf = (
         decode_error
         if encoding_aliases is None and decode_options is None

@@ -315,13 +315,14 @@ def ivf_topk(
     # not expression nodes) — the plan stays O(1) in n_lists x dim, unlike the
     # r03 literal-struct form that grew an expression node per coefficient.
     spark = corpus.sparkSession
+    centers = model.clusterCenters()
     cent_df = spark.createDataFrame(
         pd.DataFrame(
             {
-                "list_id": np.arange(n_lists, dtype=np.int32),
-                "centroid": [
-                    np.asarray(c, dtype=np.float64) for c in model.clusterCenters()
-                ],
+                # KMeans may return FEWER than n_lists centers (corpus with
+                # fewer distinct points) — size off the actual model
+                "list_id": np.arange(len(centers), dtype=np.int32),
+                "centroid": [np.asarray(c, dtype=np.float64) for c in centers],
             }
         ),
         # pandas input → Arrow transfer: at FAISS-scale n_lists × dim the

@@ -110,9 +110,11 @@ def run_pipeline(
     converter.py:233-262): write ``{"written": N, "total": N}`` JSON —
     absolute, or relative to ``out_dir``. The reference updates it per
     record inside its sequential loop; a distributed batch engine has no
-    meaningful mid-job record counter, so it is written per completed sink
-    stage (0/total at start, items count after the item sink, final at
-    end) — same file contract, stage granularity."""
+    meaningful mid-job record counter, so it is written at stage
+    granularity: 0/0 at start (totals are unknown before the gather pass,
+    exactly like the reference before its first scan), the item count when
+    the item sink lands, and the final written total (items + redirects +
+    aliases) at end — same file contract, coarser cadence."""
     del source  # parity: reference never consumes it (converter.py:135)
     # validate user metadata BEFORE any distributed work (converter.py:279-294
     # "so that we do not waste time doing operations for a scraper which will
@@ -141,6 +143,22 @@ def run_pipeline(
                 json.dumps({"written": written, "total": total})
             )
 
+    _progress(0, 0)
+    # the decode knobs drive EVERY decode, not only the quarantine probe —
+    # a rescued/re-tuned record must decode the way the probe predicted;
+    # --encoding-aliases rows merge into the downstream options the same
+    # way quarantined_records merges them internally
+    downstream_decode = decode_options
+    if encoding_aliases:
+        import dataclasses as _dc
+
+        from warc2zim_spark.kernels.decode import DecodeOptions as _DO
+
+        _base = decode_options if decode_options is not None else _DO()
+        downstream_decode = _dc.replace(
+            _base,
+            extra_aliases={**(_base.extra_aliases or {}), **encoding_aliases},
+        )
     records = load_records(spark, webdata_dir)
     content = content_records(records).cache()
 
@@ -280,6 +298,7 @@ def run_pipeline(
                     [(resolved_path, resolved_rows[0].url)],
                     "zim_path string, url string",
                 ),
+                decode_options=downstream_decode,
             )
         illu_rows = best.select("illustration").limit(1).collect()
         if illu_rows:
@@ -288,7 +307,8 @@ def run_pipeline(
     # S7: the full metadata frame (validated fail-fast inside), plus the
     # engine's own operational entries — title/lang cascade off the SAME
     # main page the run selected (user --url or auto)
-    meta = zim_metadata(content, records, name=name, main=main_df, **meta_args)
+    meta = zim_metadata(content, records, name=name, main=main_df,
+                        decode_options=downstream_decode, **meta_args)
     extra = spark.createDataFrame(
         [
             ("Main-Path", resolved_path),

@@ -32,7 +32,10 @@ Three cross-batch membership modes:
   NEW row arriving with event time older than the watermark is dropped as
   late data (standard Structured Streaming semantics) — so the delay MUST
   be sized to the source's real reordering bound, event-time span
-  included, or unique late paths are silently lost.
+  included, or unique late paths are silently lost. The sink is laid out
+  as per-batch-id subdirectories written with overwrite (replay-
+  idempotent under foreachBatch's at-least-once contract); read it with
+  ``recursiveFileLookup``.
 
 A missing sink/filter on the first batch is detected explicitly
 (AnalysisException path-not-found only) — any OTHER read failure (corrupt
@@ -107,10 +110,17 @@ def stream_items(
         # watermark delay — stage 2's checkpoint never re-reads them.
         staging = f"{checkpoint_dir}/staging"
 
+        # foreachBatch is at-least-once: a crash between a sink write and
+        # the checkpoint commit re-delivers the batch. Both stages
+        # therefore write to a PER-BATCH-ID subdirectory with
+        # mode("overwrite") — a replayed batch rewrites its own directory
+        # instead of appending duplicates (the standard idempotent-sink
+        # pattern; exact/bloom modes self-heal differently, via their
+        # sink anti-join). Readers use recursiveFileLookup.
         def stage_batch(batch_df, batch_id: int) -> None:
             item_rows(
                 content_records(batch_df), include_domains, keep_cols=("warc_date",)
-            ).write.mode("append").parquet(staging)
+            ).write.mode("overwrite").parquet(f"{staging}/batch_{batch_id}")
 
         q1 = (
             stream.writeStream.foreachBatch(stage_batch)
@@ -120,10 +130,15 @@ def stream_items(
         )
         q1.awaitTermination()
 
-        staged = _read_parquet_if_exists(spark, staging)
-        if staged is None:
-            return 0
-        reader2 = spark.readStream.schema(staged.schema)
+        try:
+            staged = spark.read.option("recursiveFileLookup", "true").parquet(staging)
+        except Exception as exc:  # AnalysisException: nothing staged yet
+            if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+                return 0
+            raise
+        reader2 = spark.readStream.schema(staged.schema).option(
+            "recursiveFileLookup", "true"
+        )
         if max_files_per_trigger is not None:
             reader2 = reader2.option("maxFilesPerTrigger", max_files_per_trigger)
         deduped = (
@@ -136,7 +151,9 @@ def stream_items(
         )
 
         def append_batch(batch_df, batch_id: int) -> None:
-            batch_df.drop("warc_date", "_evt").write.mode("append").parquet(out_dir)
+            batch_df.drop("warc_date", "_evt").write.mode("overwrite").parquet(
+                f"{out_dir}/batch_{batch_id}"
+            )
             n_batches["n"] += 1
 
         q2 = (
