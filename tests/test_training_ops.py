@@ -483,3 +483,87 @@ class TestIvfFewCenters:
         queries = corpus.filter(F.col("vec_id") < 2)
         got = ivf_topk(corpus, queries, k=3, n_lists=8, n_probe=8).collect()
         assert len(got) > 0  # no ValueError, real neighbors returned
+
+
+class TestBoilerplate:
+    def test_repeated_paragraphs_found_and_stripped(self, spark):
+        from warc2zim_spark.operators.textops import (
+            boilerplate_paragraphs,
+            strip_boilerplate,
+        )
+
+        footer = "Copyright 2020 Example Corp - all rights reserved"
+        docs = spark.createDataFrame(
+            [
+                (1, f"unique alpha content one\n{footer}"),
+                (2, f"unique beta content two\n{footer}"),
+                (3, f"unique gamma content three\n{footer}"),
+                (4, "no footer here at all, just prose"),
+                (5, None),
+            ],
+            "doc_id long, text string",
+        )
+        bp = boilerplate_paragraphs(docs, min_docs=3)
+        rows = bp.collect()
+        assert len(rows) == 1
+        assert rows[0].sample_text == footer
+        assert rows[0].n_docs == 3 and rows[0].n_occurrences == 3
+
+        stripped = {r.doc_id: r.text for r in strip_boilerplate(docs, bp).collect()}
+        assert stripped[1] == "unique alpha content one"
+        assert footer not in (stripped[2] or "")
+        assert stripped[4] == "no footer here at all, just prose"
+        assert stripped[5] == ""  # null text -> empty, no crash
+
+    def test_min_docs_threshold(self, spark):
+        from warc2zim_spark.operators.textops import boilerplate_paragraphs
+
+        docs = spark.createDataFrame(
+            [(1, "a shared paragraph appearing twice only"),
+             (2, "a shared paragraph appearing twice only")],
+            "doc_id long, text string",
+        )
+        assert boilerplate_paragraphs(docs, min_docs=3).count() == 0
+        assert boilerplate_paragraphs(docs, min_docs=2).count() == 1
+
+
+class TestCurationPipeline:
+    def test_end_to_end_counts_and_determinism(self, spark, docs):
+        from warc2zim_spark.plans.curation import curate_corpus
+
+        curated, counts = curate_corpus(
+            docs, min_quality_tokens=5, sample_per_language=10
+        )
+        assert counts["input"] == docs.count()
+        # monotone shrinkage through the gates
+        assert counts["after_quality_gate"] <= counts["input"]
+        assert counts["after_exact_dedup"] <= counts["after_quality_gate"]
+        assert counts["after_near_dedup"] <= counts["after_exact_dedup"]
+        assert counts["curated"] <= counts["after_near_dedup"]
+        assert counts["curated"] > 0
+        # per-language quota holds
+        per_lang = {
+            r.lang: r.n
+            for r in curated.groupBy("lang").agg(F.count("*").alias("n")).collect()
+        }
+        assert all(n <= 10 for n in per_lang.values())
+        # deterministic: same inputs -> same doc ids
+        again, _ = curate_corpus(docs, min_quality_tokens=5, sample_per_language=10)
+        assert {r.doc_id for r in curated.collect()} == {
+            r.doc_id for r in again.collect()
+        }
+
+    def test_exact_duplicates_removed(self, spark, docs):
+        from warc2zim_spark.plans.curation import curate_corpus
+
+        copies = docs.limit(3).select(
+            (F.col("doc_id") + 90000).alias("doc_id"), "text", "lang",
+            "source", "n_chars",
+        )
+        curated, counts = curate_corpus(
+            docs.unionByName(copies), min_quality_tokens=0,
+            max_dup_line_frac=1.0,
+        )
+        ids = {r.doc_id for r in curated.select("doc_id").collect()}
+        # the lower-id originals win; the planted copies are gone
+        assert not (ids & {90000, 90001, 90002})

@@ -100,3 +100,77 @@ def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
         F.col(id_col).alias("doc_id"),
         F.explode(udfs.fingerprint(F.col(text_col))).alias("fp"),
     )
+
+
+def boilerplate_paragraphs(
+    docs: DataFrame,
+    min_docs: int = 3,
+    min_chars: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document repeated-paragraph detection — the corpus-level twin
+    of the per-document repetition fractions (Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" motivates
+    removing exact spans shared across documents; the line/paragraph
+    granularity is the cheap, shuffle-friendly form).
+
+    Returns (para_hash, n_docs, n_occurrences, sample_text): every trimmed
+    paragraph of >= ``min_chars`` chars that appears in >= ``min_docs``
+    DISTINCT documents — navigation chrome, cookie banners, license
+    footers. Downstream, strip matching paragraphs or down-weight docs.
+
+    Scale shape: explode -> xxhash64 -> one groupBy(para_hash) with
+    map-side partial aggregation; the join back to strip is a broadcast
+    (the boilerplate table is tiny relative to the corpus). No Python."""
+    paras = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(
+                F.transform(
+                    F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"),
+                    lambda x: F.trim(x),
+                ),
+                lambda x: F.length(x) >= min_chars,
+            )
+        ).alias("para"),
+    ).withColumn("para_hash", F.xxhash64("para"))
+    return (
+        paras.groupBy("para_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("para").alias("sample_text"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def strip_boilerplate(
+    docs: DataFrame,
+    boilerplate: DataFrame,
+    min_chars: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove boilerplate paragraphs from every document: paragraphs whose
+    hash appears in ``boilerplate`` (from :func:`boilerplate_paragraphs`)
+    are dropped; survivors re-join with newlines. Short paragraphs (under
+    ``min_chars``, never candidates) are kept verbatim.
+
+    The boilerplate hash set broadcasts (it is small by construction); the
+    per-row work is pure JVM array functions — no shuffle of the corpus,
+    no Python."""
+    hashes = F.broadcast(boilerplate.select("para_hash")).agg(
+        F.collect_set("para_hash").alias("bad")
+    )
+    kept = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"),
+        lambda x: (F.length(F.trim(x)) < min_chars)
+        | ~F.array_contains(F.col("bad"), F.xxhash64(F.trim(x))),
+    )
+    return (
+        docs.crossJoin(F.broadcast(hashes))
+        .withColumn(text_col, F.array_join(kept, "\n"))
+        .drop("bad")
+    )
