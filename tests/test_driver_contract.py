@@ -51,3 +51,53 @@ def test_rows_only_list_is_current():
     assert not stale, f"rows-only entries that now HAVE oracles: {stale}"
     gone = set(ROWS_ONLY) - set(entry.queries())
     assert not gone, f"rows-only entries no longer in queries(): {gone}"
+
+
+class TestArrowOffSessionMirror:
+    """The driver's SparkSession runs with Arrow transfers DISABLED, where
+    createDataFrame takes the _createFromLocal pickle path whose type
+    verifier rejects numpy scalars (numpy.float64 inside array<double>
+    crashed e_ann_ivf in CORRECTNESS_r04 while every Arrow-on builder
+    session stayed green). These tests toggle the runtime conf off and run
+    the literal-frame-constructing queries so that bug class fails locally."""
+
+    ARROW_CONF = "spark.sql.execution.arrow.pyspark.enabled"
+
+    # every queries() entry that constructs a local DataFrame (literal rows,
+    # pandas frame, or collect()-round-trip) — the Arrow-sensitive surface
+    LITERAL_FRAME_QUERIES = [
+        "e_ann_ivf",            # pandas frame of KMeans centroids
+        "w_icon_rank",          # literal icon candidate rows
+        "w_main_page_redirect", # literal --url stand-in row
+    ]
+
+    def test_literal_frame_queries_run_arrow_off(self, spark):
+        import __spark_entry__ as entry
+
+        queries = entry.queries()
+        prev = spark.conf.get(self.ARROW_CONF)
+        spark.conf.set(self.ARROW_CONF, "false")
+        try:
+            for name in self.LITERAL_FRAME_QUERIES:
+                out = queries[name](spark, "/root/testdata/sf0.001")
+                assert out.count() >= 0, name
+        finally:
+            spark.conf.set(self.ARROW_CONF, prev)
+
+    def test_numpy_scalars_rejected_arrow_off(self, spark):
+        """Pin the mechanism: the pickle-path verifier rejects numpy floats,
+        so any regression back to numpy-typed literal frames fails here."""
+        import numpy as np
+        import pandas as pd
+        import pytest
+
+        prev = spark.conf.get(self.ARROW_CONF)
+        spark.conf.set(self.ARROW_CONF, "false")
+        try:
+            with pytest.raises(Exception, match="can not accept object"):
+                spark.createDataFrame(
+                    pd.DataFrame({"v": [np.asarray([1.0], dtype=np.float64)]}),
+                    "v array<double>",
+                ).collect()
+        finally:
+            spark.conf.set(self.ARROW_CONF, prev)

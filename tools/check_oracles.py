@@ -2,7 +2,14 @@
 entry at sf0.01 in Spark AND its oracle_sql() twin in DuckDB, compare
 row-count + schema(names) + order-insensitive values.
 
-Usage: python tools/check_oracles.py [query ...]
+Usage: python tools/check_oracles.py [--arrow-off] [query ...]
+
+``--arrow-off`` re-runs with spark.sql.execution.arrow.pyspark.enabled=false —
+the driver's own session runs Arrow-OFF, where createDataFrame takes the
+_createFromLocal pickle path whose type verifier REJECTS numpy scalars (this
+exact class crashed e_ann_ivf in CORRECTNESS_r04 while every builder-side
+Arrow-ON session stayed green). Run both modes before each round's final
+commit.
 """
 
 from __future__ import annotations
@@ -39,11 +46,20 @@ def table_fingerprint(cols: list[str], rows: list[tuple]) -> tuple[int, list[str
 
 
 def main() -> int:
-    only = set(sys.argv[1:])
+    argv = sys.argv[1:]
+    arrow_off = "--arrow-off" in argv
+    only = {a for a in argv if not a.startswith("--")}
     from warc2zim_spark.session import get_spark
 
     spark = get_spark("oracle-check", master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
+    if arrow_off:
+        # Mirror the driver's session: Arrow transfers disabled. pandas UDFs
+        # still run (they require Arrow on the worker side regardless of this
+        # conf); what changes is createDataFrame/collect taking the pickle
+        # path, whose type verifier is stricter than Arrow's.
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "false")
+        print("mode: ARROW OFF (driver-session mirror)")
     con = duckdb.connect()
     for view in VIEWS:
         con.execute(

@@ -320,13 +320,16 @@ def ivf_topk(
         pd.DataFrame(
             {
                 # KMeans may return FEWER than n_lists centers (corpus with
-                # fewer distinct points) — size off the actual model
-                "list_id": np.arange(len(centers), dtype=np.int32),
-                "centroid": [np.asarray(c, dtype=np.float64) for c in centers],
+                # fewer distinct points) — size off the actual model.
+                # Plain Python scalars, NOT numpy: a session with Arrow
+                # disabled takes _createFromLocal, whose type verifier
+                # rejects numpy.float64 inside array<double> (Arrow-on
+                # sessions still get the Arrow batch transfer from the
+                # pandas frame, so the scale path is unchanged).
+                "list_id": list(range(len(centers))),
+                "centroid": [[float(x) for x in c] for c in centers],
             }
         ),
-        # pandas input → Arrow transfer: at FAISS-scale n_lists × dim the
-        # per-row pickle path would ship gigabytes through the driver slowly
         "list_id int, centroid array<double>",
     )
     q_base = with_norm(queries, vec_col).select(
