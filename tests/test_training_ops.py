@@ -515,6 +515,66 @@ class TestBoilerplate:
         assert stripped[4] == "no footer here at all, just prose"
         assert stripped[5] == ""  # null text -> empty, no crash
 
+    def test_udf_branch_identical_to_jvm_branch(self, spark):
+        """The O(1) frozenset-probe path (forced via jvm_scan_max=0) must be
+        byte-identical to the JVM array-scan path on every doc shape: footer
+        in front/middle/end, short paras kept verbatim, null text, doc with
+        ONLY boilerplate."""
+        from warc2zim_spark.operators.textops import (
+            boilerplate_paragraphs,
+            strip_boilerplate,
+        )
+
+        footer = "Copyright 2020 Example Corp - all rights reserved"
+        banner = "We use cookies to improve your experience on this site"
+        docs = spark.createDataFrame(
+            [
+                (1, f"{footer}\nunique alpha content one"),
+                (2, f"unique beta content\n{banner}\nmore beta prose here"),
+                (3, f"unique gamma content three\n{footer}\n{banner}"),
+                (4, f"{footer}\n{banner}\n{footer}"),
+                (5, "tiny\nshort\nunique delta content kept verbatim"),
+                (6, None),
+                (7, f"  {footer}  \nindented-footer doc trims to match"),
+            ],
+            "doc_id long, text string",
+        )
+        bp = boilerplate_paragraphs(docs, min_docs=3)
+        jvm = {r.doc_id: r.text for r in strip_boilerplate(docs, bp).collect()}
+        py = {
+            r.doc_id: r.text
+            for r in strip_boilerplate(docs, bp, jvm_scan_max=0).collect()
+        }
+        assert jvm == py
+        assert footer not in jvm[1] and banner not in jvm[2]
+        assert jvm[4] == ""
+        assert jvm[5] == "tiny\nshort\nunique delta content kept verbatim"
+        assert jvm[6] == ""
+        # trimmed match drops the indented footer line too (trim semantics)
+        assert "Copyright" not in jvm[7]
+
+    def test_large_set_probes_constant_time(self, spark):
+        """1e5 decoy hashes + the real footer hash through the UDF branch:
+        the real boilerplate is still stripped, nothing else is, and the
+        probe is a hash-set lookup (the old array_contains scan was
+        paragraphs x |set| work)."""
+        from warc2zim_spark.operators.textops import strip_boilerplate
+
+        footer = "Copyright 2020 Example Corp - all rights reserved"
+        docs = spark.createDataFrame(
+            [(i, f"unique content row {i}\n{footer}") for i in range(50)],
+            "doc_id long, text string",
+        )
+        real = spark.createDataFrame([(footer,)], "para string").select(
+            F.xxhash64(F.trim("para")).alias("para_hash")
+        )
+        decoys = spark.range(100_000).select(
+            (F.xxhash64(F.concat(F.lit("decoy-"), F.col("id"))) ).alias("para_hash")
+        )
+        bp = real.unionByName(decoys)
+        out = {r.doc_id: r.text for r in strip_boilerplate(docs, bp).collect()}
+        assert all(out[i] == f"unique content row {i}" for i in range(50))
+
     def test_min_docs_threshold(self, spark):
         from warc2zim_spark.operators.textops import boilerplate_paragraphs
 
@@ -541,10 +601,11 @@ class TestCurationPipeline:
         assert counts["after_near_dedup"] <= counts["after_exact_dedup"]
         assert counts["curated"] <= counts["after_near_dedup"]
         assert counts["curated"] > 0
-        # per-language quota holds
+        # per-language quota holds on the PREDICTED language — the column
+        # the gate filtered and the sampler stratified on
         per_lang = {
-            r.lang: r.n
-            for r in curated.groupBy("lang").agg(F.count("*").alias("n")).collect()
+            r.lang_pred: r.n
+            for r in curated.groupBy("lang_pred").agg(F.count("*").alias("n")).collect()
         }
         assert all(n <= 10 for n in per_lang.values())
         # deterministic: same inputs -> same doc ids
@@ -552,6 +613,45 @@ class TestCurationPipeline:
         assert {r.doc_id for r in curated.collect()} == {
             r.doc_id for r in again.collect()
         }
+
+    def test_no_lang_column_corpus(self, spark):
+        """Real corpora usually have NO lang column (that is why lang-ID
+        exists): curation must stratify on the predicted language without
+        crashing, and the quota must hold per lang_pred."""
+        from warc2zim_spark.plans.curation import curate_corpus
+
+        docs = spark.createDataFrame(
+            [
+                (i, "the quick brown fox jumps over the lazy dog number %d" % i)
+                for i in range(30)
+            ]
+            + [
+                (100 + i, "le renard brun rapide saute par dessus le chien %d" % i)
+                for i in range(30)
+            ],
+            "doc_id long, text string",
+        )
+        curated, counts = curate_corpus(
+            docs, min_quality_tokens=3, sample_per_language=5
+        )
+        assert counts["curated"] > 0
+        per = {
+            r.lang_pred: r.n
+            for r in curated.groupBy("lang_pred").agg(F.count("*").alias("n")).collect()
+        }
+        assert all(n <= 5 for n in per.values())
+
+    def test_stage_boundaries_checkpointed(self, spark, docs):
+        """The returned frame's plan must NOT re-run the full lineage: the
+        boundary localCheckpoints truncate it, so text_stats' ArrowEvalPython
+        (langid) appears zero times in the final plan — each stage executed
+        exactly once for its boundary count."""
+        from warc2zim_spark.plans.curation import curate_corpus
+
+        curated, _ = curate_corpus(docs, min_quality_tokens=5)
+        plan = curated._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan
+        assert "ExistingRDD" in plan or "LogicalRDD" in plan or "Scan" in plan
 
     def test_exact_duplicates_removed(self, spark, docs):
         from warc2zim_spark.plans.curation import curate_corpus

@@ -7,8 +7,10 @@ frozen kernels.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from warc2zim_spark.functions import udfs
 from warc2zim_spark.functions.expressions import quality_columns, token_count_ws
@@ -152,25 +154,62 @@ def strip_boilerplate(
     min_chars: int = 20,
     id_col: str = "doc_id",
     text_col: str = "text",
+    jvm_scan_max: int = 1024,
 ) -> DataFrame:
     """Remove boilerplate paragraphs from every document: paragraphs whose
     hash appears in ``boilerplate`` (from :func:`boilerplate_paragraphs`)
     are dropped; survivors re-join with newlines. Short paragraphs (under
     ``min_chars``, never candidates) are kept verbatim.
 
-    The boilerplate hash set broadcasts (it is small by construction); the
-    per-row work is pure JVM array functions — no shuffle of the corpus,
-    no Python."""
-    hashes = F.broadcast(boilerplate.select("para_hash")).agg(
-        F.collect_set("para_hash").alias("bad")
-    )
-    kept = F.filter(
-        F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"),
-        lambda x: (F.length(F.trim(x)) < min_chars)
-        | ~F.array_contains(F.col("bad"), F.xxhash64(F.trim(x))),
-    )
-    return (
-        docs.crossJoin(F.broadcast(hashes))
-        .withColumn(text_col, F.array_join(kept, "\n"))
-        .drop("bad")
-    )
+    Membership probe is O(1) per paragraph regardless of set size, with no
+    shuffle of the corpus either way:
+
+    - set <= ``jvm_scan_max``: single-row broadcast array + JVM
+      ``array_contains`` inside whole-stage codegen — a linear scan, but
+      over at most ~1k longs it is cheaper than any Python round-trip;
+    - larger sets (a realistic 100-TB boilerplate table is 1e5-1e6 rows,
+      where paragraphs x |set| linear work blows up): paragraph hashes are
+      still computed JVM-side (xxhash64), then probed against a
+      ``sc.broadcast`` frozenset inside one Arrow pandas UDF — hash-set
+      lookup per paragraph, corpus stays partition-local.
+
+    Both branches produce byte-identical output (pytest pins equality).
+    The hash set is collected to the driver once — bounded by the
+    ``min_docs`` filter in :func:`boilerplate_paragraphs`; even 1e6 rows
+    is 8 MB, the same documented pattern as the exact-mode seen-set."""
+    spark = docs.sparkSession
+    hashes = sorted(int(r[0]) for r in boilerplate.select("para_hash").distinct().collect())
+    if not hashes:
+        return docs
+    paras = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+    if len(hashes) <= jvm_scan_max:
+        bad_df = spark.createDataFrame([(hashes,)], "bad array<bigint>")
+        kept = F.filter(
+            paras,
+            lambda x: (F.length(F.trim(x)) < min_chars)
+            | ~F.array_contains(F.col("bad"), F.xxhash64(F.trim(x))),
+        )
+        return (
+            docs.crossJoin(F.broadcast(bad_df))
+            .withColumn(text_col, F.array_join(kept, "\n"))
+            .drop("bad")
+        )
+    bad_bc = spark.sparkContext.broadcast(frozenset(hashes))
+
+    @pandas_udf("string")
+    def _strip(para_arr: pd.Series, cand_arr: pd.Series, hash_arr: pd.Series) -> pd.Series:
+        bad = bad_bc.value
+        out = []
+        for ps, cs, hs in zip(para_arr, cand_arr, hash_arr):
+            out.append(
+                "\n".join(
+                    p for p, c, h in zip(ps, cs, hs) if not (c and h in bad)
+                )
+            )
+        return pd.Series(out, dtype=object)
+
+    # candidacy mask and hashes computed JVM-side so trim/length/xxhash64
+    # semantics are identical to the JVM branch; no nulls cross Arrow
+    cand = F.transform(paras, lambda x: F.length(F.trim(x)) >= min_chars)
+    ph = F.transform(paras, lambda x: F.xxhash64(F.trim(x)))
+    return docs.withColumn(text_col, _strip(paras, cand, ph))
