@@ -110,24 +110,29 @@ def q_w_run_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_w_main_page(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4 — main-page auto-selection."""
-    from warc2zim_spark.operators.gather import main_page_candidate
+    """A4 + J5 merged into one driver slot (both read the same content scan
+    and produce (zim_path, url) shapes — merged r05 to free a slot under the
+    driver's 50-query cap):
 
-    return main_page_candidate(_content(spark, sf_dir))
+    - kind='auto': main-page auto-selection (converter.py:565-578);
+    - kind='redirect': main-page redirect follow (converter.py:586-606) — a
+      --url stand-in at the datagen fixture chain head (302→301→307) must
+      re-point to the chain's final path. Independent oracle: DuckDB
+      recursive CTE over the {301,302,307} first-wins edge map."""
+    from warc2zim_spark.operators.gather import main_page_candidate, main_page_resolved
 
-
-def q_w_main_page_redirect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J5 — main-page redirect follow (converter.py:586-606): a --url
-    stand-in at the datagen fixture chain head (302→301→307) must re-point
-    to the chain's final path. Independent oracle: DuckDB recursive CTE over
-    the {301,302,307} first-wins edge map."""
-    from warc2zim_spark.operators.gather import main_page_resolved
-
+    content = _content(spark, sf_dir)
+    auto = main_page_candidate(content).select(
+        F.lit("auto").alias("kind"), "zim_path", "url"
+    )
     main = spark.createDataFrame(
         [("redir.example/main-start", "https://redir.example/main-start")],
         "zim_path string, url string",
     )
-    return main_page_resolved(_content(spark, sf_dir), main)
+    followed = main_page_resolved(content, main).select(
+        F.lit("redirect").alias("kind"), "zim_path", "url"
+    )
+    return auto.unionByName(followed)
 
 
 def q_w_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -662,6 +667,36 @@ def q_d_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+_BP_FOOTER = "Copyright 2020 Example Corp - all rights reserved"
+_BP_BANNER = "We use cookies to improve your browsing experience"
+
+
+def q_d_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection (operators/textops.py
+    boilerplate_paragraphs — Lee et al. 2022 motivates removing exact spans
+    shared across documents). The synthetic documents table has no repeated
+    paragraphs, so the query plants two deterministic boilerplate lines
+    (footer on doc_id%3, cookie banner on doc_id%5) BEFORE detection; the
+    oracle plants the same lines in SQL and re-derives split → trim →
+    group → having count(distinct doc) ≥ 3 independently. Output keyed by
+    paragraph text (sample_text == the paragraph whenever xxhash64 is
+    collision-free, which the oracle verifies by matching)."""
+    from warc2zim_spark.operators.textops import boilerplate_paragraphs
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(_BP_FOOTER)),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(_BP_BANNER)),
+        ),
+    )
+    return boilerplate_paragraphs(docs, min_docs=3).select(
+        F.col("sample_text").alias("para"), "n_docs", "n_occurrences"
+    )
+
+
 def q_e_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for the first 8 vectors (exact baseline)."""
     from warc2zim_spark.operators.similarity import brute_force_topk
@@ -842,7 +877,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_seen_set": q_w_seen_set,
         "w_run_summary": q_w_run_summary,
         "w_main_page": q_w_main_page,
-        "w_main_page_redirect": q_w_main_page_redirect,
         "w_metadata": q_w_metadata,
         "w_static_assets": q_w_static_assets,
         "w_items_from_bytes": q_w_items_from_bytes,
@@ -878,6 +912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_textstats": q_d_textstats,
         "d_fingerprint": q_d_fingerprint,
         "d_stratified_sample": q_d_stratified_sample,
+        "d_boilerplate": q_d_boilerplate,
         "e_ann_brute": q_e_ann_brute,
         "e_ann_lsh": q_e_ann_lsh,
         "e_ann_ivf": q_e_ann_ivf,
@@ -991,12 +1026,40 @@ def _web_sql(sf: str = "sf0.01") -> dict[str, str]:
           FROM ({content})
         """,
         "w_main_page": f"""
-          SELECT zim_path_g AS zim_path, eff_url AS url, file_seq, rec_seq
-          FROM ({content})
-          WHERE rec_type = 'response' AND status = 200
-            AND split_part(coalesce(mime, ''), ';', 1) = 'text/html'
-            AND octet_length(payload) > 0
-          ORDER BY file_seq, rec_seq LIMIT 1
+          WITH RECURSIVE auto AS (
+            SELECT 'auto' AS kind, zim_path_g AS zim_path, eff_url AS url
+            FROM ({content})
+            WHERE rec_type = 'response' AND status = 200
+              AND split_part(coalesce(mime, ''), ';', 1) = 'text/html'
+              AND octet_length(payload) > 0
+            ORDER BY file_seq, rec_seq LIMIT 1
+          ),
+          mp_edges AS (
+            SELECT src_path, tgt_path FROM (
+              SELECT zim_path_g AS src_path, redirect_target_path_g AS tgt_path,
+                     row_number() OVER (PARTITION BY zim_path_g ORDER BY file_seq, rec_seq) AS rn
+              FROM ({content})
+              WHERE rec_type = 'response' AND status IN (301,302,307)
+                AND http_location IS NOT NULL AND http_location <> ''
+                AND redirect_target_path_g IS NOT NULL
+                AND redirect_target_path_g <> zim_path_g
+            ) WHERE rn = 1
+          ),
+          walk(node, depth) AS (
+            SELECT 'redir.example/main-start', 0
+            UNION ALL
+            SELECT e.tgt_path, w.depth + 1
+            FROM walk w JOIN mp_edges e ON e.src_path = w.node
+            WHERE w.depth < 32
+          ),
+          followed AS (
+            SELECT 'redirect' AS kind, node AS zim_path,
+                   'https://redir.example/main-start' AS url
+            FROM walk ORDER BY depth DESC LIMIT 1
+          )
+          SELECT kind, zim_path, url FROM auto
+          UNION ALL
+          SELECT kind, zim_path, url FROM followed
         """,
         "w_metadata": f"""
           WITH content AS ({content}),
@@ -1125,28 +1188,6 @@ def _web_sql(sf: str = "sf0.01") -> dict[str, str]:
                   LIKE '%statuses.example'
           )
           SELECT zim_path, url, status FROM cand WHERE rn = 1
-        """,
-        "w_main_page_redirect": f"""
-          WITH RECURSIVE mp_edges AS (
-            SELECT src_path, tgt_path FROM (
-              SELECT zim_path_g AS src_path, redirect_target_path_g AS tgt_path,
-                     row_number() OVER (PARTITION BY zim_path_g ORDER BY file_seq, rec_seq) AS rn
-              FROM ({content})
-              WHERE rec_type = 'response' AND status IN (301,302,307)
-                AND http_location IS NOT NULL AND http_location <> ''
-                AND redirect_target_path_g IS NOT NULL
-                AND redirect_target_path_g <> zim_path_g
-            ) WHERE rn = 1
-          ),
-          walk(node, depth) AS (
-            SELECT 'redir.example/main-start', 0
-            UNION ALL
-            SELECT e.tgt_path, w.depth + 1
-            FROM walk w JOIN mp_edges e ON e.src_path = w.node
-            WHERE w.depth < 32
-          )
-          SELECT node AS zim_path, 'https://redir.example/main-start' AS url
-          FROM walk ORDER BY depth DESC LIMIT 1
         """,
         "w_pairing_urlkey": f"""
           SELECT file_seq, rec_seq, urlkey_g AS urlkey FROM {rec}
@@ -1423,6 +1464,24 @@ def _doc_sql(sf: str = "sf0.01") -> dict[str, str]:
             ORDER BY md5('w2zs-sample' || ':' || '42' || ':' || CAST(doc_id AS VARCHAR)),
                      doc_id
           ) <= 5
+        """,
+        "d_boilerplate": f"""
+          WITH aug AS (
+            SELECT doc_id,
+                   concat_ws(chr(10), text,
+                     CASE WHEN doc_id % 3 = 0 THEN '{_BP_FOOTER}' END,
+                     CASE WHEN doc_id % 5 = 0 THEN '{_BP_BANNER}' END) AS text
+            FROM documents
+          ),
+          paras AS (
+            SELECT doc_id, trim(p) AS para
+            FROM aug, unnest(string_split(coalesce(text, ''), chr(10))) AS t(p)
+            WHERE length(trim(p)) >= 20
+          )
+          SELECT para, count(DISTINCT doc_id) AS n_docs,
+                 count(*) AS n_occurrences
+          FROM paras GROUP BY para
+          HAVING count(DISTINCT doc_id) >= 3
         """,
         "e_ann_brute": """
           WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 8),

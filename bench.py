@@ -323,6 +323,9 @@ def main() -> None:
         # hits both symmetrically; keep the best round per level
         rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "2"))
         results: dict[int, dict] = {}
+        bests_per_stage: dict[int, dict[str, list]] = {
+            n: {"items": [], "text": [], "crawl": []} for n in (n_lo, n_hi)
+        }
         for _ in range(rounds):
             for cpus in (n_lo, n_hi):
                 out = subprocess.run(
@@ -330,6 +333,8 @@ def main() -> None:
                     env=dict(os.environ), capture_output=True, text=True, check=True,
                 )
                 res = json.loads(out.stdout.strip().splitlines()[-1])
+                for stage in ("items", "text", "crawl"):
+                    bests_per_stage[cpus][stage].append(res["secs"][stage])
                 if cpus not in results or (
                     res["throughput_rows_per_s"] > results[cpus]["throughput_rows_per_s"]
                 ):
@@ -337,6 +342,23 @@ def main() -> None:
         r_lo = results[n_lo]["throughput_rows_per_s"]
         r_hi = results[n_hi]["throughput_rows_per_s"]
         efficiency = round((r_hi / r_lo) / factor, 3) if r_lo else 0.0
+        # per-stage attribution (r04 verdict #7): which stage carries any
+        # sub-linear term. best-per-stage ACROSS rounds/levels is also
+        # reported — a 10-minute host-noise window hits one stage of one
+        # level; if the slow stage alternates between runs while
+        # stage_efficiency_best stays >= the bar, the sub-linear term is the
+        # host, not the engine. (kept-round numbers remain the headline.)
+        stage_eff = {}
+        for stage in ("items", "text", "crawl"):
+            t_lo_kept = results[n_lo]["secs"][stage]
+            t_hi_kept = results[n_hi]["secs"][stage]
+            t_lo_best = min(bests_per_stage[n_lo][stage])
+            t_hi_best = min(bests_per_stage[n_hi][stage])
+            stage_eff[stage] = {
+                "kept": round((t_lo_kept / t_hi_kept) / factor, 3) if t_hi_kept else None,
+                "best_across_rounds": round((t_lo_best / t_hi_best) / factor, 3)
+                if t_hi_best else None,
+            }
         print(json.dumps({
             "scaling": {
                 f"local{n_lo}": results[n_lo],
@@ -344,6 +366,7 @@ def main() -> None:
                 "R_N": r_lo,
                 "R_4N": r_hi,
                 "efficiency": efficiency,
+                "stage_efficiency": stage_eff,
                 "pass": efficiency >= 0.8,
             }
         }))

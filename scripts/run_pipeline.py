@@ -20,6 +20,14 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def expand_zim_file(name: str, zim_file: str | None, period: str) -> str:
+    """converter.py:142-150: zim_file defaults to ``{name}_{period}``; a
+    literal ``{period}`` placeholder expands to %Y-%m. str.replace, not
+    str.format: a name containing any OTHER brace (e.g. ``notes{v1}``)
+    must pass through verbatim, not KeyError/IndexError."""
+    return (zim_file or f"{name}_{{period}}").replace("{period}", period)
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--webdata", required=True)
@@ -84,17 +92,17 @@ def main() -> None:
 
     import time as _time
 
+    if args.out is not None and args.output is not None:
+        # refusing the ambiguity beats silently ignoring --output (and with
+        # it --zim-file/--overwrite, which only act on the reference path)
+        parser.error("--out and --output are mutually exclusive")
     if args.out is not None:
         # engine-native path: sinks are mode("overwrite") — re-runs into the
         # same dir have always been allowed, so the reference's clobber
         # refusal (which guards only ITS computed ZIM file) does not apply
         out_dir = args.out
     elif args.output is not None:
-        zim_file = args.zim_file or "{name}_{period}".format(
-            name=args.name, period="{period}"
-        )
-        # converter.py:149: a literal {period} placeholder expands to %Y-%m
-        zim_file = zim_file.format(period=_time.strftime("%Y-%m"))
+        zim_file = expand_zim_file(args.name, args.zim_file, _time.strftime("%Y-%m"))
         out_dir = os.path.join(args.output, zim_file)
         if os.path.exists(out_dir) and os.listdir(out_dir) and not args.overwrite:
             # converter.py:152-158 exits 2 rather than clobbering

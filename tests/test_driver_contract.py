@@ -66,9 +66,9 @@ class TestArrowOffSessionMirror:
     # every queries() entry that constructs a local DataFrame (literal rows,
     # pandas frame, or collect()-round-trip) — the Arrow-sensitive surface
     LITERAL_FRAME_QUERIES = [
-        "e_ann_ivf",            # pandas frame of KMeans centroids
-        "w_icon_rank",          # literal icon candidate rows
-        "w_main_page_redirect", # literal --url stand-in row
+        "e_ann_ivf",     # pandas frame of KMeans centroids
+        "w_icon_rank",   # literal icon candidate rows
+        "w_main_page",   # literal --url stand-in row (merged J5 redirect leg)
     ]
 
     def test_literal_frame_queries_run_arrow_off(self, spark):

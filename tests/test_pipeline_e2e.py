@@ -465,6 +465,54 @@ class TestTwoPhaseNarrowedProbe:
         rows = quarantined_records(df, decode_options=opts).collect()
         assert len(rows) == 1 and rows[0].reason.startswith("LookupError")
 
+    def test_wide_sniff_with_default_trylist_uses_payload_not_head(self, spark):
+        """r04 ADVICE (medium): with the DEFAULT try-list and header_bytes >
+        1024 on a frame carrying BOTH payload_head and payload, the probe
+        must sniff the real payload — the old fast path sniffed the 1-KiB
+        head with a 4-KiB window, silently passing records whose >1KiB-deep
+        declared charset the actual decode then honors (and fails on)."""
+        from pyspark.sql import functions as F
+
+        from warc2zim_spark.kernels.decode import DecodeOptions
+        from warc2zim_spark.operators.quarantine import quarantined_records
+
+        html = b"<html><!--" + b"x" * 2000 + b'--><meta charset="no-such-codec">'
+        df = spark.createDataFrame(
+            [(1, 1, "response", "t.example/deep.html", "https://t.example/deep.html",
+              "text/html", None, "GET", 200, len(html), html, None)],
+            "file_seq int, rec_seq int, rec_type string, zim_path string, "
+            "effective_url string, mime string, resourcetype string, "
+            "p_method string, status int, payload_len long, "
+            "payload binary, http_charset string",
+        ).withColumn("payload_head", F.expr("substring(payload, 1, 1024)"))
+        # default try-list (charsets_to_try=None), wide sniff window
+        opts = DecodeOptions(header_bytes=4096)
+        rows = quarantined_records(df, decode_options=opts).collect()
+        assert len(rows) == 1  # the deep declaration IS seen and fails
+
+    def test_wide_sniff_head_only_frame_raises(self, spark):
+        """A head-only frame cannot honor header_bytes > 1024 — refuse
+        loudly instead of probing a truncated window."""
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        from warc2zim_spark.kernels.decode import DecodeOptions
+        from warc2zim_spark.operators.quarantine import quarantined_records
+
+        html = b"<html>ok</html>"
+        df = spark.createDataFrame(
+            [(1, 1, "response", "t.example/a.html", "https://t.example/a.html",
+              "text/html", None, "GET", 200, len(html), html, None)],
+            "file_seq int, rec_seq int, rec_type string, zim_path string, "
+            "effective_url string, mime string, resourcetype string, "
+            "p_method string, status int, payload_len long, "
+            "payload binary, http_charset string",
+        ).withColumn("payload_head", F.expr("substring(payload, 1, 1024)")).drop("payload")
+        with _pytest.raises(ValueError, match="header_bytes wider"):
+            quarantined_records(
+                df, decode_options=DecodeOptions(header_bytes=4096)
+            )
+
 
 class TestCliSurface:
     """scripts/run_pipeline.py parity flags added in r04: reference-style
@@ -505,3 +553,36 @@ class TestCliSurface:
         r3 = subprocess.run(cmd + ["--overwrite"], capture_output=True,
                             text=True, timeout=600)
         assert r3.returncode == 0, r3.stderr[-2000:]
+
+
+class TestCliOutputFlagSafety:
+    """r04 ADVICE: --out + --output together must error (not silently prefer
+    --out and drop --zim-file/--overwrite), and brace-bearing names must not
+    crash the {period} expansion."""
+
+    def _run(self, *extra):
+        import subprocess
+        import sys
+
+        return subprocess.run(
+            [sys.executable, "scripts/run_pipeline.py", *extra],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+
+    def test_out_and_output_conflict_errors(self):
+        p = self._run("--webdata", "x", "--out", "/tmp/a", "--output", "/tmp/b")
+        assert p.returncode == 2
+        assert "mutually exclusive" in p.stderr
+
+    def test_braces_in_zim_file_pass_through(self):
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "run_pipeline_cli", "/root/repo/scripts/run_pipeline.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        # other braces survive verbatim; {period} expands; default composes
+        assert mod.expand_zim_file("n", "notes{v1}_{period}", "2026-08") == "notes{v1}_2026-08"
+        assert mod.expand_zim_file("n", "plain-name", "2026-08") == "plain-name"
+        assert mod.expand_zim_file("site{a}", None, "2026-08") == "site{a}_2026-08"

@@ -482,3 +482,35 @@ class TestIconsHtmlRealLife:
             base + "favicon-16x16.png",
         }
         assert set(extract_icons(html)) == expected
+
+
+class TestDirectoryDiscoveryParity:
+    """iter_file_or_dir parity (reference cdxj_indexer/main.py:3-17): the
+    directory walk recurses, keeps exactly ALLOWED_EXT = (.arc, .arc.gz,
+    .warc, .warc.gz), and skips stray files — the reference ships a literal
+    ``tests/data/empty-file`` fixture to pin the skip."""
+
+    def test_recursive_walk_and_extension_filter(self, spark, tmp_path):
+        from warc2zim_spark.sources.warcbytes import load_warc_records
+
+        root = tmp_path / "inputs"
+        nested = root / "crawl-2020" / "wave-1"
+        nested.mkdir(parents=True)
+        shutil.copy(REF_DATA / "example-response.warc", root / "a.warc")
+        # nested dir: must be discovered (os.walk recurses)
+        shutil.copy(REF_DATA / "example-response.warc", nested / "b.warc")
+        # the reference's own stray-file fixture: must be skipped
+        shutil.copy(REF_DATA / "empty-file", root / "empty-file")
+        (root / "notes.txt").write_text("not a warc")
+        (root / "x.march").write_bytes(b"extension traps the naive glob")
+
+        recs = load_warc_records(spark, str(root))
+        base = tmp_path / "single"
+        base.mkdir()
+        shutil.copy(REF_DATA / "example-response.warc", base / "a.warc")
+        n_one = load_warc_records(spark, str(base)).count()
+        assert n_one > 0
+        # both real warcs parsed (nested included), strays contributed nothing
+        assert recs.count() == 2 * n_one
+        seqs = {r.file_seq for r in recs.select("file_seq").distinct().collect()}
+        assert len(seqs) == 2

@@ -296,14 +296,27 @@ def quarantined_records(
             .filter(F.col("reason").isNotNull())
             .select(*out_cols)
         )
-        return fails_ab.unionByName(fails_c)
+        # materialize the (small) fails union so phase_a's cached head scan
+        # feeds both legs exactly once, then release it deterministically —
+        # the persist must not linger in executor storage after return
+        result = fails_ab.unionByName(fails_c).localCheckpoint(eager=True)
+        phase_a.unpersist()
+        return result
 
-    if narrowed_try_list and "payload" not in cols:
+    # payload_head is ingested at a fixed 1 KiB: a wider header-sniff window
+    # (--content-header-bytes-length > 1024) over the truncated head would
+    # miss charsets declared past 1 KiB that the actual full-payload decode
+    # honors — records would quarantine (or pass) inconsistently with the
+    # decode. Any config that sniffs past the head width needs the payload.
+    head_usable = "payload_head" in cols and opts.header_bytes <= 1024
+    if (narrowed_try_list or not head_usable) and "payload" not in cols:
         raise ValueError(
-            "a narrowed charsets_to_try makes tier (c) fallible over the FULL "
-            "payload, but this frame carries only payload_head — pass a frame "
-            "with the payload column (content_records(..., with_payload=True); "
-            "add with_head=True to enable the two-phase probe)"
+            "this decode configuration is fallible over the FULL payload "
+            "(narrowed charsets_to_try, or header_bytes wider than the 1 KiB "
+            "ingest head), but this frame carries only payload_head — pass a "
+            "frame with the payload column (content_records(..., "
+            "with_payload=True); add with_head=True to enable the two-phase "
+            "probe)"
         )
     err_udf = (
         decode_error
@@ -312,7 +325,7 @@ def quarantined_records(
     )
     bytes_col = (
         F.col("payload_head")
-        if "payload_head" in cols and not narrowed_try_list
+        if head_usable and not narrowed_try_list
         else F.col("payload")
     )
     return (

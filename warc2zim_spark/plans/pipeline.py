@@ -176,16 +176,21 @@ def run_pipeline(
     )
 
     # head-only content stream: the probe reads the 1-KiB payload_head
-    # column, never the full payload bytes — unless a narrowed try-list
-    # makes tier (c) fallible, in which case quarantined_records runs its
-    # two-phase form (head classification, full payload for the tier-c
-    # residue only), so the payload column is requested alongside the head
+    # column, never the full payload bytes — unless the decode config is
+    # fallible past the head: a narrowed try-list makes tier (c) fallible
+    # (two-phase probe: head classification, full payload for the tier-c
+    # residue only), and a --content-header-bytes-length wider than the
+    # 1-KiB ingest head means the charset sniff itself needs real payload
     narrowed = (
         decode_options is not None
         and getattr(decode_options, "charsets_to_try", None) is not None
     )
+    wide_sniff = (
+        decode_options is not None
+        and getattr(decode_options, "header_bytes", 1024) > 1024
+    )
     fails = quarantined_records(
-        content_records(records, with_payload=narrowed, with_head=True),
+        content_records(records, with_payload=narrowed or wide_sniff, with_head=True),
         encoding_aliases=encoding_aliases,
         decode_options=decode_options,
     ).cache()

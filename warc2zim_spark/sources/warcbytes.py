@@ -268,10 +268,18 @@ def load_warc_records(spark, warc_dir: str):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    # discovery parity with the reference's iter_file_or_dir
+    # (cdxj_indexer/main.py:3-17): os.walk RECURSES into subdirectories and
+    # keeps exactly ALLOWED_EXT = (.arc, .arc.gz, .warc, .warc.gz) — its
+    # tests/data/empty-file fixture exists to prove stray files are skipped.
+    # pathGlobFilter is a cheap listing-time prefilter; the rlike pins the
+    # exact extension set (the glob alone would admit e.g. "x.march").
     scan = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.warc*")
+        .option("pathGlobFilter", "*.*arc*")
+        .option("recursiveFileLookup", "true")
         .load(warc_dir)
+        .filter(F.col("path").rlike(r"\.(arc|warc)(\.gz)?$"))
     )
     # rank on a PATHS-ONLY projection: binaryFile prunes `content` when only
     # `path` is selected, so the global sort window moves a few strings, not
