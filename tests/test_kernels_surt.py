@@ -270,3 +270,90 @@ class TestRound4FuzzyRules:
         b = canonicalize("https://googletagmanager.com/gtm.js?l=other&id=GTM-ABC123")
         assert a == "googletagmanager.com.fuzzy.replayweb.page/gtm.js?id=GTM-ABC123"
         assert a == b
+
+
+class TestRound5FuzzyRules:
+    """Round-5 rule-table growth (verdict r04 #8): youtube /embed/, google
+    fonts, media-asset cache queries, jQuery JSONP callback ids, soundcloud
+    client params — public wabac/pywb rule shapes, engine-defined goldens."""
+
+    def test_youtube_embed_id_is_identity(self):
+        from warc2zim_spark.kernels.surt import canonicalize
+
+        a = canonicalize(
+            "https://www.youtube.com/embed/aT-Up5Y4uRI?autoplay=1&origin=https%3A%2F%2Fx.org"
+        )
+        b = canonicalize("https://www.youtube-nocookie.com/embed/aT-Up5Y4uRI")
+        c = canonicalize("https://youtube.com/embed/aT-Up5Y4uRI")
+        assert a == "youtube.fuzzy.replayweb.page/embed/aT-Up5Y4uRI"
+        assert a == b == c
+
+    def test_google_fonts_family_is_identity(self):
+        from warc2zim_spark.kernels.surt import canonicalize
+
+        a = canonicalize(
+            "https://fonts.googleapis.com/css2?family=Roboto:wght@400;700&display=swap"
+        )
+        b = canonicalize(
+            "https://fonts.googleapis.com/css2?display=block&family=Roboto:wght@400;700&ver=6.2"
+        )
+        assert a == "fonts.googleapis.com.fuzzy.replayweb.page/css2?family=Roboto:wght@400;700"
+        assert a == b
+        # css (v1) endpoint folds under the same shape
+        assert canonicalize(
+            "https://fonts.googleapis.com/css?family=Lato&subset=latin-ext"
+        ) == "fonts.googleapis.com.fuzzy.replayweb.page/css?family=Lato"
+
+    def test_media_asset_cache_query_dropped(self):
+        from warc2zim_spark.kernels.surt import canonicalize
+
+        assert canonicalize(
+            "https://cdn.example.com/video/clip.mp4?cdn_token=abc123&expires=99"
+        ) == "cdn.example.com/video/clip.mp4"
+        assert canonicalize(
+            "https://media.example.org/seg/chunk_001.m4s?sid=f00"
+        ) == "media.example.org/seg/chunk_001.m4s"
+        # non-media extensions keep their query
+        assert canonicalize(
+            "https://example.com/page.html?cdn_token=abc"
+        ) == "example.com/page.html?cdn_token=abc"
+
+    def test_media_drop_does_not_preempt_platform_rules(self):
+        from warc2zim_spark.kernels.surt import canonicalize
+
+        # vimeo-cdn mp4 keeps its dedicated fuzzy host (battery wins)
+        assert canonicalize(
+            "https://vod-progressive.akamaized.net/exp=1595948421~acl=%2A~hmac=ab4f/01/4423/13/347119375/1398505169.mp4?range=0-1"
+        ) == "vimeo-cdn.fuzzy.replayweb.page/01/4423/13/347119375/1398505169.mp4"
+
+    def test_jquery_jsonp_callback_id_normalized(self):
+        from warc2zim_spark.kernels.surt import canonicalize
+
+        a = canonicalize(
+            "https://example.com/api/data.json?callback=jQuery21408126275620251668_1611600710335&_=1611600710336"
+        )
+        b = canonicalize(
+            "https://example.com/api/data.json?callback=jQuery111_222&_=333"
+        )
+        assert a == "example.com/api/data.json?callback=jQuery"
+        assert a == b
+        # non-jQuery callbacks pass through untouched
+        assert canonicalize(
+            "https://example.com/api/data.json?callback=handleData"
+        ) == "example.com/api/data.json?callback=handleData"
+
+    def test_soundcloud_client_params_stripped(self):
+        from warc2zim_spark.kernels.surt import canonicalize
+
+        a = canonicalize(
+            "https://api-v2.soundcloud.com/tracks/123/streams?client_id=a1b2&app_version=1670000000&app_locale=en"
+        )
+        assert a == "api-v2.soundcloud.com/tracks/123/streams"
+        # stable params survive the strip
+        assert canonicalize(
+            "https://api-v2.soundcloud.com/search?q=jazz&client_id=a1b2&limit=20"
+        ) == "api-v2.soundcloud.com/search?q=jazz&limit=20"
+        # other hosts with a client_id param are untouched
+        assert canonicalize(
+            "https://api.example.com/x?client_id=zz"
+        ) == "api.example.com/x?client_id=zz"

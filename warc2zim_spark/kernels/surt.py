@@ -119,7 +119,35 @@ FUZZY_RULES: list[tuple[re.Pattern[str], str]] = [
                    r"id=([^&]+).*$"),
         r"googletagmanager.com.fuzzy.replayweb.page/gtm.js?id=\1",
     ),
+    # youtube embed player (wabac rule shape: the embedded video id is the
+    # identity; player params — autoplay, origin, enablejsapi — are noise)
+    (
+        re.compile(r"^(?:www\.)?youtube(?:-nocookie)?\.com/embed/([^/?]+)"
+                   r"(?:\?.*)?$"),
+        r"youtube.fuzzy.replayweb.page/embed/\1",
+    ),
+    # google fonts css: the family list is the identity; display/ver/subset
+    # are render hints that vary across fetches of the same stored sheet
+    (
+        re.compile(r"^fonts\.googleapis\.com/(css2?)\?.*?(family=[^&]+).*$"),
+        r"fonts.googleapis.com.fuzzy.replayweb.page/\1?\2",
+    ),
 ]
+
+# media-segment/file cache noise: a query on an immutable media asset
+# (CDN token, byte-range hint, session id) never changes the stored bytes —
+# drop it when NO platform rule claimed the URL first (the wabac media rule
+# shape; vimeo-cdn/videoplayback keep their dedicated rules above)
+_MEDIA_EXTS = (
+    ".mp4", ".webm", ".m4v", ".m4a", ".m4s", ".mp3", ".aac", ".ogg",
+    ".oga", ".flac", ".wav",
+)
+
+# jQuery JSONP: the generated callback name embeds a per-page random id +
+# timestamp (`jQuery<rand>_<ts>`); the stored response is keyed by the stable
+# prefix (pywb/wabac jsonp rule shape — the paired response-body rewrite
+# lives in kernels/rewritemode.py)
+_JQUERY_CB_RE = re.compile(r"(?<=[?&])callback=jQuery\d+_\d+(?=&|$)")
 
 # cheap substring guards gating the regex battery: ~99% of URLs match no
 # fuzzy rule, and a dozen full-regex attempts per URL tripled the kernel
@@ -128,11 +156,17 @@ FUZZY_RULES: list[tuple[re.Pattern[str], str]] = [
 _FUZZY_TOKENS_QUERY = (
     "youtube", "googlevideo", "vimeo", "vod-progressive", "vod-adaptive",
     "ytimg", "facebook", "instagram", "wixstatic", "jsdelivr", "spiegel",
-    "cheatography", "googletagmanager",
+    "cheatography", "googletagmanager", "googleapis",
 )
 _FUZZY_TOKENS_NOQUERY = (
     "vimeo", "vod-progressive", "vod-adaptive", "ytimg", "wixstatic",
+    "youtube",  # /embed/<id> folds with or without player params
 )
+
+# api(-v2).soundcloud.com: client_id / app_version / app_locale vary per
+# client session over the same stored API response (pywb soundcloud rule
+# shape) — stripped in place, same mechanics as the cache-buster params
+_SC_PARAM_RE = re.compile(r"[?&](?:client_id|app_version|app_locale)=[^&]*(?=&|$)")
 
 # jQuery-style cache-buster params (`_`, `cb`, `uncache` = digits) are
 # dropped wherever they appear in a query — the wabac generic-param rule
@@ -140,14 +174,14 @@ _FUZZY_TOKENS_NOQUERY = (
 _CACHE_PARAM_RE = re.compile(r"[?&](?:_|cb|uncache)=\d+(?=&|$)")
 
 
-def _strip_cache_params(key: str) -> str:
+def _strip_cache_params(key: str, pattern: re.Pattern[str] = _CACHE_PARAM_RE) -> str:
     # Operate on the query substring only: a literal '&' in the PATH (from
     # percent-decoding, e.g. /foo%26bar) must never be promoted to '?' when
     # the whole query turns out to be a stripped cache-buster (advisor r03).
     head, sep, query = key.partition("?")
     if not sep:
         return key
-    new_q = _CACHE_PARAM_RE.sub("", "?" + query)
+    new_q = pattern.sub("", "?" + query)
     if not new_q:
         return head
     if new_q.startswith("&"):
@@ -188,12 +222,29 @@ def canonicalize(url: str | None) -> str | None:
         if "_=" in query or "cb=" in query or "uncache=" in query:
             key = _strip_cache_params(key)
             query = key.partition("?")[2]
-        if any(t in key for t in _FUZZY_TOKENS_QUERY) or query.isdigit():
+        if "soundcloud.com/" in key and (
+            "client_id=" in query or "app_version=" in query or "app_locale=" in query
+        ):
+            key = _strip_cache_params(key, _SC_PARAM_RE)
+            query = key.partition("?")[2]
+        fired = False
+        if query and (
+            any(t in key for t in _FUZZY_TOKENS_QUERY) or query.isdigit()
+        ):
             for pattern, repl in FUZZY_RULES:
                 new_key, n = pattern.subn(repl, key)
                 if n:
                     key = new_key
+                    fired = True
                     break
+        if query and not fired:
+            # fallbacks for URLs no platform rule claimed: media-asset
+            # cache noise and the jQuery JSONP callback id
+            head = key.partition("?")[0]
+            if head.endswith(_MEDIA_EXTS):
+                key = head
+            elif "callback=jQuery" in query:
+                key = _JQUERY_CB_RE.sub("callback=jQuery", key)
     elif any(t in key for t in _FUZZY_TOKENS_NOQUERY):
         for pattern, repl in FUZZY_RULES:
             new_key, n = pattern.subn(repl, key)
