@@ -83,7 +83,9 @@ def minhash_signature(
     (a_i·h + b_i) mod M31; a·h < 2^62 so everything stays native uint64."""
     if not text:
         return [0] * num_perm
-    shingles = sorted(char_shingles(text, k))
+    # no sort: min() over the permuted hashes is order-independent, and the
+    # sort was ~35% of kernel time at bench scale
+    shingles = list(char_shingles(text, k))
     if not shingles:
         return [0] * num_perm
     key = (num_perm, seed)
@@ -112,7 +114,7 @@ def simhash64(text: str | None, k: int = 5) -> int:
     """64-bit SimHash over char shingles (Charikar): sign of per-bit sums."""
     if not text:
         return 0
-    shingles = sorted(char_shingles(text, k))
+    shingles = list(char_shingles(text, k))  # per-bit sums are order-independent
     if not shingles:
         return 0
     hashes = _crc64_vec(shingles)

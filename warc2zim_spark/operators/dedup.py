@@ -50,14 +50,20 @@ def minhash_candidates(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     max_bucket: int = 1000,
 ) -> DataFrame:
-    """LSH candidate pairs (id_a < id_b) via banded minhash signatures."""
-    sigs = docs.select(
+    """LSH candidate pairs (id_a < id_b) via banded minhash signatures.
+
+    The band frame feeds FOUR consumers (bucket sizing, the cap semi-join,
+    and both sides of the self-join); without a materialization barrier
+    Spark re-runs the signature UDF over the corpus for each — a
+    localCheckpoint makes the Arrow pass run exactly once (at cluster
+    scale this is the standard "write signatures once" step; executor-local
+    storage holds docs×bands small rows)."""
+    exploded = docs.select(
         F.col(id_col).alias("doc_id"),
-        udfs.minhash_sig(F.col(text_col)).alias("sig"),
-    ).withColumn("band_keys", udfs.minhash_band_keys(F.col("sig")))
-    exploded = sigs.select(
+        udfs.minhash_bands_of_text(F.col(text_col)).alias("band_keys"),
+    ).select(
         "doc_id", F.posexplode("band_keys").alias("band_no", "band_key")
-    )
+    ).localCheckpoint(eager=False)
     # cap pathological buckets (e.g. empty-text clusters) to bound join fanout
     bucket_sizes = exploded.groupBy("band_no", "band_key").count()
     capped = exploded.join(
@@ -79,11 +85,26 @@ def minhash_near_duplicates(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     threshold: float = 0.8,
 ) -> DataFrame:
-    """LSH candidates verified with exact 3-gram Jaccard ≥ threshold."""
-    cands = minhash_candidates(docs, id_col, text_col)
-    grams = docs.select(
-        F.col(id_col).alias("doc_id"),
-        udfs.word_shingles(F.col(text_col)).alias("grams"),
+    """LSH candidates verified with exact 3-gram Jaccard ≥ threshold.
+
+    The shingle UDF for the verify step runs only over docs that appear in
+    some candidate pair (semi-join first): at corpus scale with a low dup
+    rate this is a ~100× smaller Arrow pass than re-shingling everything,
+    and the small gram frame is checkpointed so the a/b join sides share
+    one computation."""
+    cands = minhash_candidates(docs, id_col, text_col).localCheckpoint(eager=False)
+    cand_ids = (
+        cands.select(F.col("id_a").alias("doc_id"))
+        .union(cands.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    grams = (
+        docs.join(cand_ids, docs[id_col] == cand_ids["doc_id"], "left_semi")
+        .select(
+            F.col(id_col).alias("doc_id"),
+            udfs.word_shingles(F.col(text_col)).alias("grams"),
+        )
+        .localCheckpoint(eager=False)
     )
     a = grams.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("grams_a"))
     b = grams.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("grams_b"))
@@ -115,10 +136,12 @@ def ngram_jaccard_pairs(
     (t·|B| ≤ |A| ≤ |B|/t) prunes further. Lossless, never O(n²) — this
     replaces the r01 log-size blocking whose within-bucket join was
     quadratic (verdict perf-weak #4)."""
+    # four consumers (tok_df, prefixes, both verify sides) — checkpoint so
+    # the shingle UDF runs one Arrow pass, not four
     grams = docs.select(
         F.col(id_col).alias("doc_id"),
         udfs.word_shingles(F.col(text_col)).alias("grams"),
-    ).filter(F.size("grams") > 0)
+    ).filter(F.size("grams") > 0).localCheckpoint(eager=False)
 
     # global order: (document frequency asc, token) — computed once per run
     tok_df = (
@@ -198,7 +221,7 @@ def simhash_near_duplicates(
     sims = docs.select(
         F.col(id_col).alias("doc_id"),
         udfs.simhash(F.col(text_col)).alias("sim"),
-    )
+    ).localCheckpoint(eager=False)  # both join sides share one UDF pass
     # block bit-ranges: distribute 64 bits as evenly as possible
     base, extra = divmod(64, num_blocks)
     sizes = [base + (1 if i < extra else 0) for i in range(num_blocks)]
