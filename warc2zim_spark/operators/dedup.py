@@ -54,16 +54,22 @@ def minhash_candidates(
 
     The band frame feeds FOUR consumers (bucket sizing, the cap semi-join,
     and both sides of the self-join); without a materialization barrier
-    Spark re-runs the signature UDF over the corpus for each — a
-    localCheckpoint makes the Arrow pass run exactly once (at cluster
-    scale this is the standard "write signatures once" step; executor-local
-    storage holds docs×bands small rows)."""
-    exploded = docs.select(
+    Spark re-runs the signature UDF over the corpus for each — measured
+    executed plans carry 8-14 ArrowEvalPython nodes: per-consumer column
+    pruning makes every subtree canonically distinct (no ReusedExchange
+    possible), and any predicate over a UDF output (posexplode's implicit
+    size>0 guard) doubles the eval again. A localCheckpoint of the
+    pre-explode (doc_id, band_keys) frame — one row per doc, 16 ints —
+    makes the Arrow pass run exactly once; consumers re-derive the explode
+    JVM-side from materialized arrays (at cluster scale this is the
+    standard "write signatures once" step)."""
+    keys = docs.select(
         F.col(id_col).alias("doc_id"),
         udfs.minhash_bands_of_text(F.col(text_col)).alias("band_keys"),
-    ).select(
-        "doc_id", F.posexplode("band_keys").alias("band_no", "band_key")
     ).localCheckpoint(eager=False)
+    exploded = keys.select(
+        "doc_id", F.posexplode("band_keys").alias("band_no", "band_key")
+    )
     # cap pathological buckets (e.g. empty-text clusters) to bound join fanout
     bucket_sizes = exploded.groupBy("band_no", "band_key").count()
     capped = exploded.join(
@@ -137,11 +143,13 @@ def ngram_jaccard_pairs(
     replaces the r01 log-size blocking whose within-bucket join was
     quadratic (verdict perf-weak #4)."""
     # four consumers (tok_df, prefixes, both verify sides) — checkpoint so
-    # the shingle UDF runs one Arrow pass, not four
+    # the shingle UDF runs one Arrow pass, not four; the size>0 filter goes
+    # AFTER the barrier (a predicate on a UDF output makes Catalyst evaluate
+    # the UDF once for the filter and once for the projection)
     grams = docs.select(
         F.col(id_col).alias("doc_id"),
         udfs.word_shingles(F.col(text_col)).alias("grams"),
-    ).filter(F.size("grams") > 0).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False).filter(F.size("grams") > 0)
 
     # global order: (document frequency asc, token) — computed once per run
     tok_df = (
