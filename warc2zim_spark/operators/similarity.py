@@ -177,13 +177,17 @@ def lsh_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col("_dvec").alias("c_vec"),
         F.col("_norm").alias("c_norm"),
-        F.posexplode(sig_udf(F.col("_dvec"))).alias("table_no", "bucket"),
+        # *_outer: the signature array is fixed-length (one slot per table),
+        # and plain posexplode's implicit size>0 guard is a predicate on the
+        # UDF output — Catalyst then evaluates the UDF twice per side
+        # (measured: 4 ArrowEvalPython in the e_ann_lsh plan, 2 after this)
+        F.posexplode_outer(sig_udf(F.col("_dvec"))).alias("table_no", "bucket"),
     )
     q_base = with_norm(queries, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col("_dvec").alias("q_vec"),
         F.col("_norm").alias("q_norm"),
-        F.posexplode(sig_udf(F.col("_dvec"))).alias("table_no", "sig"),
+        F.posexplode_outer(sig_udf(F.col("_dvec"))).alias("table_no", "sig"),
     )
     if multiprobe:
         probes = F.array(

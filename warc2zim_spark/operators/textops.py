@@ -98,10 +98,12 @@ def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
 def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Winnowing fingerprints, exploded to (doc_id, fp) for join-based
     containment detection."""
+    # explode_outer + post-filter: plain explode's implicit non-empty guard
+    # is a predicate on the UDF output and doubles the Arrow eval
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(udfs.fingerprint(F.col(text_col))).alias("fp"),
-    )
+        F.explode_outer(udfs.fingerprint(F.col(text_col))).alias("fp"),
+    ).filter(F.col("fp").isNotNull())
 
 
 def boilerplate_paragraphs(
