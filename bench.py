@@ -230,20 +230,23 @@ def run_scaling_workload(cpus: int, sf_dir: str, k: int | None = None) -> dict:
     from warc2zim_spark.frontier.politeness import politeness_budget, prioritize, robots_allowed
     from warc2zim_spark.frontier.seenfilter import unseen_exact
 
-    candidates = (
-        pages_big.select(
-            udfs.surt_key(F.col("url")).alias("surt_key"),
-            udfs.host_of(F.col("url")).alias("url_host"),
-            "url",
-        )
-        .filter(F.col("surt_key").isNotNull() & F.col("url_host").isNotNull())
-        .withColumnRenamed("url_host", "host")
+    # engine pattern (frontier.crawl._normalize_cols + deferred _valid): a
+    # null filter directly over the UDF projection makes Catalyst evaluate
+    # surt+host TWICE over the candidate table; nulls survive to the filter
+    # below the checkpoint scan instead
+    from warc2zim_spark.frontier.crawl import _normalize_cols, _valid
+
+    candidates_base = (
+        _normalize_cols(pages_big.select("url"))
         .withColumn("hops", F.pmod(F.xxhash64("surt_key"), F.lit(4)).cast("int"))
         .withColumn("score", F.pmod(F.xxhash64("host", "surt_key"), F.lit(1000)) / 1000.0)
     )
     seen = pages_big.limit(300_000).select(udfs.surt_key(F.col("url")).alias("surt_key"))
 
     def crawl_df():
+        # fresh checkpoint per trial: the surt/host pass is re-executed and
+        # re-timed each iteration (no cross-trial reuse)
+        candidates = candidates_base.localCheckpoint(eager=False).filter(_valid())
         unseen = unseen_exact(candidates, seen)
         allowed = robots_allowed(unseen, robots)
         polite = politeness_budget(allowed, robots, host_budget=100, salt_partitions=8)

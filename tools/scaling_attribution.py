@@ -72,17 +72,16 @@ def _crawl_frame(spark, big, web):
     pages_big = spark.read.parquet(f"{big}/pages")
     robots = spark.read.parquet(f"{web}/robots.parquet")
 
+    from warc2zim_spark.frontier.crawl import _normalize_cols, _valid
+
     def mk():
+        # mirrors bench.py's crawl stage (engine deferred-filter pattern)
         candidates = (
-            pages_big.select(
-                udfs.surt_key(F.col("url")).alias("surt_key"),
-                udfs.host_of(F.col("url")).alias("url_host"),
-                "url",
-            )
-            .filter(F.col("surt_key").isNotNull() & F.col("url_host").isNotNull())
-            .withColumnRenamed("url_host", "host")
+            _normalize_cols(pages_big.select("url"))
             .withColumn("hops", F.pmod(F.xxhash64("surt_key"), F.lit(4)).cast("int"))
             .withColumn("score", F.pmod(F.xxhash64("host", "surt_key"), F.lit(1000)) / 1000.0)
+            .localCheckpoint(eager=False)
+            .filter(_valid())
         )
         seen = pages_big.limit(300_000).select(udfs.surt_key(F.col("url")).alias("surt_key"))
         unseen = unseen_exact(candidates, seen)

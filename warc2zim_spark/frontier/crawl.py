@@ -38,13 +38,24 @@ from warc2zim_spark.functions import udfs
 SCORE_DECAY = 0.5
 
 
-def _normalize(frontier: DataFrame) -> DataFrame:
-    return (
-        frontier.withColumn("surt_key", udfs.surt_key(F.col("url")))
-        .filter(F.col("surt_key").isNotNull())
-        .withColumn("host", udfs.host_of(F.col("url")))
-        .filter(F.col("host").isNotNull())
+# rows whose url failed canonicalization or host extraction (UDFs return
+# null) — applied AFTER each frontier checkpoint so the filter reads the
+# materialized columns: a Filter directly over a UDF Project makes Catalyst
+# evaluate the UDF once for the predicate and once for the projection
+def _valid():
+    return F.col("surt_key").isNotNull() & F.col("host").isNotNull()
+
+
+def _normalize_cols(frontier: DataFrame) -> DataFrame:
+    """Attach surt_key + host (one UDF pass each, NO null filter — callers
+    filter ``_VALID`` after a materialization barrier)."""
+    return frontier.withColumn("surt_key", udfs.surt_key(F.col("url"))).withColumn(
+        "host", udfs.host_of(F.col("url"))
     )
+
+
+def _normalize(frontier: DataFrame) -> DataFrame:
+    return _normalize_cols(frontier).filter(_valid())
 
 
 def page_lookup(pages: DataFrame) -> DataFrame:
@@ -62,9 +73,11 @@ def page_lookup(pages: DataFrame) -> DataFrame:
             F.col("url").alias("page_url"),
             F.col("html"),
         )
-        .filter(F.col("surt_key").isNotNull())
+        # null-key filter sits AFTER the window (post-shuffle): filtering the
+        # raw UDF output directly would double the surt pass over the page
+        # table (predicate + projection both evaluate it pre-shuffle)
         .withColumn("_rn", F.row_number().over(page_w))
-        .filter(F.col("_rn") == 1)
+        .filter((F.col("_rn") == 1) & F.col("surt_key").isNotNull())
         .select("surt_key", "html")
     )
 
@@ -103,8 +116,10 @@ def crawl_wave(
             F.max("score").alias("score"),
             F.min("url").alias("url"),
         )
+        # no host-null filter needed: every url in the group passed _VALID,
+        # min(url) is one of them, and host_of is deterministic per url —
+        # a filter here would just double the host UDF over the wave
         .withColumn("host", udfs.host_of(F.col("url")))
-        .filter(F.col("host").isNotNull())
     )
     if seen_bloom is not None:
         # partitioned-bloom membership (the 10^10-key mode): candidates hash
@@ -137,17 +152,22 @@ def crawl_wave(
         fetched.filter(F.col("html").isNotNull())
         .select(
             "surt_key", "url", "hops", "score",
-            F.explode(udfs.extract_meta(html_str)["links"]).alias("href"),
+            # *_outer: plain explode's implicit non-empty guard is a predicate
+            # on the UDF output and made Catalyst run the decode+extract HTML
+            # parse TWICE per page; null hrefs resolve to null urls and die in
+            # the frontier's _VALID filter
+            F.explode_outer(udfs.extract_meta(html_str)["links"]).alias("href"),
         )
+        # no dst_url null filter here: it would double the resolve UDF, and
+        # null urls canonicalize to null surt_key → dropped by _VALID anyway
         .withColumn("dst_url", udfs.resolve_url(F.col("url"), F.col("href")))
-        .filter(F.col("dst_url").isNotNull())
         .select(
             F.col("dst_url").alias("url"),
             (F.col("hops") + 1).alias("hops"),
             (F.col("score") * SCORE_DECAY).alias("score"),
         )
     )
-    return scheduled, _normalize(links)
+    return scheduled, _normalize_cols(links)
 
 
 def run_crawl(
@@ -195,8 +215,10 @@ def run_crawl(
     ckpt = Path(checkpoint_dir)
     ckpt.mkdir(parents=True, exist_ok=True)
     frontier = (
-        initial_frontier if initial_frontier is not None else _normalize(seeds)
-    ).localCheckpoint(eager=True)
+        (initial_frontier if initial_frontier is not None else _normalize_cols(seeds))
+        .localCheckpoint(eager=True)
+        .filter(_valid())
+    )
     seen = (
         initial_seen
         if initial_seen is not None
@@ -265,7 +287,7 @@ def run_crawl(
                 .distinct()
                 .localCheckpoint(eager=True)
             )
-        frontier = next_frontier.localCheckpoint(eager=True)
+        frontier = next_frontier.localCheckpoint(eager=True).filter(_valid())
     pages_keyed.unpersist()
     waves = sorted(int(p.name.split("=")[1]) for p in ckpt.glob("wave=*") if p.is_dir())
     return (
