@@ -162,6 +162,13 @@ def content_records(
         paired.filter(F.col("rec_type").isin("response", "revisit"))
         .filter(F.col("url").isNotNull() & (F.col("url") != ""))
         .filter(is_http_url(F.col("url")))
+        # known 2x-eval: this filter over the surt Project makes Catalyst run
+        # the UDF for predicate AND projection. Measured alternatives lose:
+        # asNondeterministic() gives one eval but blocks every consumer
+        # predicate from pushing through this Project to the scan (the
+        # operator's documented contract), and the A/B at bench scale is a
+        # wash (8.35 vs 8.48 s) because surt is a microsecond kernel — the
+        # pairing window + posturl dominate the stage.
         .withColumn("zim_path", udfs.surt_key(F.col("effective_url")))
         .filter(F.col("zim_path").isNotNull())
     )

@@ -318,7 +318,10 @@ def js_module_paths(pages: DataFrame) -> DataFrame:
     )
     meta = udfs.extract_meta(html_str)
     return (
-        pages.select("url", F.explode(meta["js_modules"]).alias("module_src"))
+        # *_outer: plain explode's implicit non-empty guard doubles the
+        # decode+extract HTML parse over the full page scan; null module_src
+        # rows resolve to null module_url and die in the existing filter
+        pages.select("url", F.explode_outer(meta["js_modules"]).alias("module_src"))
         .withColumn("module_url", udfs.resolve_url(F.col("url"), F.col("module_src")))
         .filter(F.col("module_url").isNotNull())
         .withColumn("module_path", udfs.surt_key(F.col("module_url")))

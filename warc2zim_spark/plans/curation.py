@@ -80,7 +80,11 @@ def curate_corpus(
     # scan — Catalyst collapses it; keep the gate BEFORE any wide stage).
     # Inner join (not semi) carries lang_pred forward for the sampler;
     # gated_ids has one row per doc_id so the row set is identical.
-    stats = text_stats(docs)
+    # checkpoint the stats frame before gating: the gates are predicates
+    # over text_stats' outputs, and a Filter directly over the UDF-bearing
+    # Project would run the langid Arrow pass once for the predicate and
+    # once for the lang_pred projection carried to the sampler
+    stats = text_stats(docs).localCheckpoint(eager=False)
     gated_ids = stats.filter(
         (F.col("n_tokens_ws") >= min_quality_tokens)
         & (F.col("dup_line_frac") <= max_dup_line_frac)
