@@ -73,11 +73,13 @@ def page_lookup(pages: DataFrame) -> DataFrame:
             F.col("url").alias("page_url"),
             F.col("html"),
         )
-        # null-key filter sits AFTER the window (post-shuffle): filtering the
-        # raw UDF output directly would double the surt pass over the page
-        # table (predicate + projection both evaluate it pre-shuffle)
+        # deliberately NO surt_key null filter: the frame's only consumer is
+        # an equi-join on surt_key, which never matches null keys, and any
+        # placement of the predicate gets pushed below the window onto the
+        # raw UDF Project — doubling the surt pass over the page table
+        # (partition-key predicates push through Window legally)
         .withColumn("_rn", F.row_number().over(page_w))
-        .filter((F.col("_rn") == 1) & F.col("surt_key").isNotNull())
+        .filter(F.col("_rn") == 1)
         .select("surt_key", "html")
     )
 
