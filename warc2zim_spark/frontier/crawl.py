@@ -142,7 +142,12 @@ def crawl_wave(
     )
     scheduled = prioritize(
         polite, wave_budget=wave_budget, salt_partitions=salt_partitions
-    )
+    ).localCheckpoint(eager=False)
+    # ^ checkpoint: the wave output is consumed twice — written/aggregated by
+    # the crawl driver AND joined against the page table for link extraction
+    # (whose result materializes one wave LATER, after the driver's cache is
+    # long gone) — without the barrier every wave's scheduling windows
+    # recompute inside the next wave's frontier checkpoint
 
     # "fetch": canonical-key join against the page table; extract links.
     page_keyed = pages_keyed if pages_keyed is not None else page_lookup(pages)
