@@ -131,15 +131,20 @@ class TestFrontierPlanSingleEval:
         )
         nxt.count()
         evals = _arrow_evals(nxt)
-        # decode+extract chain once, resolve once, surt once (links
-        # normalize) — the explode guard and the dst_url/notNull filters
-        # used to double the HTML parse and the resolver; host_of appears
-        # once for links plus once for the wave-dedup best frame
+        # r06: the whole link chain (decode + HTML parse + resolve + surt +
+        # host) is ONE fused Arrow stage — exactly one extract_wave_links
+        # eval, and none of the former per-stage UDFs may reappear (their
+        # return would mean the exploded link frame round-trips through
+        # Python again)
+        assert evals.count("extract_wave_links") == 1, evals
         for name in ("extract_meta", "resolve_url"):
-            assert evals.count(name) <= 1, (name, evals)
-        # links normalize (x1); the cached page_lookup build prints its
-        # subtree twice in toString but holds a single live eval
-        assert evals.count("host_of") <= 2, evals
+            assert evals.count(name) == 0, (name, evals)
+        # surt_key lives only inside the cached page_lookup build, whose
+        # subtree the plan toString prints (not a live eval — same artifact
+        # the old host_of bound documented); host_of survives only in the
+        # wave-dedup best frame
+        assert evals.count("surt_key") <= 2, evals
+        assert evals.count("host_of") <= 1, evals
         pages_keyed.unpersist()
 
     def test_js_modules_single_parse(self, spark):

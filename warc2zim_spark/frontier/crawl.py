@@ -21,6 +21,7 @@ ties broken by surt_key.
 from __future__ import annotations
 
 import json
+import os
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -36,6 +37,15 @@ from warc2zim_spark.frontier.seenfilter import unseen_exact
 from warc2zim_spark.functions import udfs
 
 SCORE_DECAY = 0.5
+
+# scale guards for the broadcast fast paths (r06). Wave schedules and
+# exact-mode seen sets are broadcast-joined while they provably fit (keys
+# only, ~100 B/row → ≤ a few hundred MB at these caps); beyond them the
+# plain shuffle joins (and, for seen, the partitioned-bloom mode — the
+# actual 10^10-key design point) take over. Env-overridable for cluster
+# tiers with more executor memory.
+_FETCH_BROADCAST_MAX = int(os.environ.get("W2ZS_FETCH_BROADCAST_MAX", "2000000"))
+_SEEN_BROADCAST_MAX = int(os.environ.get("W2ZS_SEEN_BROADCAST_MAX", "2000000"))
 
 
 # rows whose url failed canonicalization or host extraction (UDFs return
@@ -59,28 +69,25 @@ def _normalize(frontier: DataFrame) -> DataFrame:
 
 
 def page_lookup(pages: DataFrame) -> DataFrame:
-    """(surt_key, html) with exactly one page per canonical key — the
+    """(surt_key, page_url) with exactly one page per canonical key — the
     lexicographically-first url wins (first-wins analogue of A2, needed
     because fuzzy rules/cache-busters fold several urls onto one key).
-    Compute ONCE per crawl and cache: at sf0.1 this is a 200k-row surt-UDF
-    pass + a window — recomputing it inside every wave dominated the bench."""
-    from pyspark.sql import Window
+    Compute ONCE per crawl and cache.
 
-    page_w = Window.partitionBy("surt_key").orderBy("page_url")
+    NARROW (r06, guide §8): the lookup is a *decision* table of keys only —
+    ``min(page_url)`` over a map-side-aggregating groupBy is exactly the
+    former window's first-wins pick, but the dedup shuffle and the per-crawl
+    cache now carry ~100 B/row instead of the whole html payload.
+    ``crawl_wave`` re-attaches html at fetch time by streaming the page
+    table through a broadcast probe of the scheduled keys, so the heavy
+    bytes are never shuffled or cached at all."""
     return (
         pages.select(
             udfs.surt_key(F.col("url")).alias("surt_key"),
             F.col("url").alias("page_url"),
-            F.col("html"),
         )
-        # deliberately NO surt_key null filter: the frame's only consumer is
-        # an equi-join on surt_key, which never matches null keys, and any
-        # placement of the predicate gets pushed below the window onto the
-        # raw UDF Project — doubling the surt pass over the page table
-        # (partition-key predicates push through Window legally)
-        .withColumn("_rn", F.row_number().over(page_w))
-        .filter(F.col("_rn") == 1)
-        .select("surt_key", "html")
+        .groupBy("surt_key")
+        .agg(F.min("page_url").alias("page_url"))
     )
 
 
@@ -101,8 +108,9 @@ def crawl_wave(
     ``frontier``: (url, surt_key, host, hops, score) candidates.
     ``seen``: one column ``surt_key``.
     ``pages``: the web-page table (url, html, ...) standing in for fetches.
-    ``pages_keyed``: optional pre-built ``page_lookup(pages)`` (cached by the
-    crawl driver so the 200k-row key pass happens once, not per wave).
+    ``pages_keyed``: optional pre-built ``page_lookup(pages)`` — the NARROW
+    (surt_key, page_url) decision table (cached by the crawl driver so the
+    surt pass over the page table happens once, not per wave).
     ``bloom_partitions`` must match the partition count ``seen_bloom`` was
     built with (probe_bloom validates against the filter rows and raises on
     mismatch — a silent mismatch would pair candidates with the wrong
@@ -150,31 +158,49 @@ def crawl_wave(
     # recompute inside the next wave's frontier checkpoint
 
     # "fetch": canonical-key join against the page table; extract links.
+    # The scheduled keys pick their winning page_url on the NARROW lookup,
+    # then html is attached by streaming the page table through a hash probe
+    # of that (small) hit set: the html bytes move ZERO times — they stay in
+    # the scan stage that feeds the link-extraction UDFs, at the scan's own
+    # parallelism (the former left join against a (surt_key, html) lookup
+    # either broadcast ~100 MB of html per wave or probed it from the
+    # single-partition schedule side, serializing the whole HTML parse into
+    # one task — guide §8: decide with small rows, move big rows once).
     page_keyed = pages_keyed if pages_keyed is not None else page_lookup(pages)
-    fetched = scheduled.join(page_keyed, "surt_key", "left")
+    hits = scheduled.join(page_keyed, "surt_key")
+    if wave_budget is not None and wave_budget <= _FETCH_BROADCAST_MAX:
+        hits = F.broadcast(hits)
+    fetched = hits.join(
+        pages.select(F.col("url").alias("page_url"), "html"), "page_url"
+    )
     html_str = udfs.decode_payload(
         F.col("html"), F.lit(None).cast("string"), F.lit("html")
     )
     links = (
         fetched.filter(F.col("html").isNotNull())
         .select(
-            "surt_key", "url", "hops", "score",
-            # *_outer: plain explode's implicit non-empty guard is a predicate
-            # on the UDF output and made Catalyst run the decode+extract HTML
-            # parse TWICE per page; null hrefs resolve to null urls and die in
-            # the frontier's _VALID filter
-            F.explode_outer(udfs.extract_meta(html_str)["links"]).alias("href"),
+            "hops", "score",
+            # decode + extract + resolve + canonicalize fused into ONE Arrow
+            # stage (extract_wave_links; chained python UDFs share the eval
+            # node) — the former extract_meta → explode → resolve_url →
+            # surt_key/host_of chain round-tripped the exploded link frame
+            # through Python three times. *_outer: plain explode's implicit
+            # non-empty guard is a predicate on the UDF output and made
+            # Catalyst run the parse TWICE per page; a linkless page yields
+            # one null row that dies in the frontier's _VALID filter.
+            F.explode_outer(
+                udfs.extract_wave_links(html_str, F.col("url"))
+            ).alias("l"),
         )
-        # no dst_url null filter here: it would double the resolve UDF, and
-        # null urls canonicalize to null surt_key → dropped by _VALID anyway
-        .withColumn("dst_url", udfs.resolve_url(F.col("url"), F.col("href")))
         .select(
-            F.col("dst_url").alias("url"),
+            F.col("l.url").alias("url"),
             (F.col("hops") + 1).alias("hops"),
             (F.col("score") * SCORE_DECAY).alias("score"),
+            F.col("l.surt_key").alias("surt_key"),
+            F.col("l.host").alias("host"),
         )
     )
-    return scheduled, _normalize_cols(links)
+    return scheduled, links
 
 
 def run_crawl(
@@ -221,8 +247,19 @@ def run_crawl(
 
     ckpt = Path(checkpoint_dir)
     ckpt.mkdir(parents=True, exist_ok=True)
+    # spread the seed pass: seeds routinely arrive as ONE partition (a limit,
+    # a collected list, a tiny file), which would run the surt/host UDF pass
+    # — and everything until the first exchange — in a single task. A
+    # round-robin repartition of the (tiny, urls-only) seed rows costs
+    # nothing and restores wave-0 parallelism (r06; set identical, order
+    # explicitly re-established by every downstream sort key).
+    n_parts = spark.sparkContext.defaultParallelism
     frontier = (
-        (initial_frontier if initial_frontier is not None else _normalize_cols(seeds))
+        (
+            initial_frontier
+            if initial_frontier is not None
+            else _normalize_cols(seeds.repartition(n_parts))
+        )
         .localCheckpoint(eager=True)
         .filter(_valid())
     )
@@ -231,6 +268,10 @@ def run_crawl(
         if initial_seen is not None
         else spark.createDataFrame([], "surt_key string")
     )
+    # exact-mode seen keys are counted as they accumulate (each wave adds
+    # exactly n_scheduled NEW keys — the anti-join guarantees disjointness),
+    # so the wave can broadcast the probe side while it provably fits
+    seen_count = initial_seen.count() if initial_seen is not None else 0
     seen_bloom = None
     if seen_mode == "bloom":
         # resume fast-path: the persisted filter itself (no key rebuild)
@@ -249,8 +290,11 @@ def run_crawl(
         wave_salt = (
             salt_partitions if frontier.count() >= salt_min_candidates else 0
         )
+        seen_for_wave = (
+            F.broadcast(seen) if seen_count <= _SEEN_BROADCAST_MAX else seen
+        )
         scheduled, next_frontier = crawl_wave(
-            frontier, seen, pages, robots,
+            frontier, seen_for_wave, pages, robots,
             host_budget=host_budget, wave_budget=wave_budget,
             pages_keyed=pages_keyed, seen_bloom=seen_bloom,
             salt_partitions=wave_salt, bloom_partitions=bloom_partitions,
@@ -289,11 +333,12 @@ def run_crawl(
                 str(ckpt / f"seen_bloom_wave={wave}")
             )
         else:
-            seen = (
-                seen.union(out.select("surt_key"))
-                .distinct()
-                .localCheckpoint(eager=True)
-            )
+            # no distinct (r06): this wave's keys are disjoint from seen by
+            # construction (they survived the anti-join) and unique within
+            # the wave (dedup groupBy), so the union IS the exact seen set —
+            # the distinct was one full seen-set shuffle per wave for nothing
+            seen = seen.union(out.select("surt_key")).localCheckpoint(eager=True)
+            seen_count += n_scheduled
         frontier = next_frontier.localCheckpoint(eager=True).filter(_valid())
     pages_keyed.unpersist()
     waves = sorted(int(p.name.split("=")[1]) for p in ckpt.glob("wave=*") if p.is_dir())

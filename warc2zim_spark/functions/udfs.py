@@ -217,6 +217,54 @@ def extract_link_targets(htmls: pd.Series, base_urls: pd.Series) -> pd.Series:
     )
 
 
+_WAVE_LINK_SCHEMA = ArrayType(
+    StructType(
+        [
+            StructField("url", StringType()),
+            StructField("surt_key", StringType()),
+            StructField("host", StringType()),
+        ]
+    )
+)
+
+
+@pandas_udf(_WAVE_LINK_SCHEMA)
+def extract_wave_links(htmls: pd.Series, base_urls: pd.Series) -> pd.Series:
+    """Fused crawl-wave link pass (r06): HTML → [(resolved url, surt_key,
+    host)] in ONE Arrow stage. Composes the exact kernels the former
+    three-boundary chain ran (extract_meta links → resolve_url → surt_key +
+    host_of), so each link's (url, surt_key, host) triple is byte-identical
+    — but the per-link strings cross the JVM↔Python boundary once instead
+    of three round trips of the exploded link frame (guide §4.1: you cannot
+    remove the boundary, you control how often rows cross it). Links that
+    the old chain would have nulled (skip-scheme hrefs, urljoin failures,
+    non-canonicalizable or hostless urls) are omitted — exactly the rows
+    the crawl's _valid() filter dropped one step later."""
+    from urllib.parse import urljoin
+
+    out = []
+    for h, u in zip(htmls, base_urls):
+        rows: list[tuple[str, str, str]] = []
+        if h is not None and u is not None:
+            for href in _htmlmeta.extract_meta(h)["links"]:
+                if href is None:
+                    continue
+                href = str(href).strip()
+                if href.startswith(("#", "javascript:", "data:", "mailto:")):
+                    continue
+                try:
+                    dst = urljoin(u, href)
+                except ValueError:
+                    continue
+                key = _surt.canonicalize(dst)
+                host = _surt.url_host(dst)
+                if key is None or host is None:
+                    continue
+                rows.append((dst, key, host))
+        out.append(rows)
+    return pd.Series(out)
+
+
 _META_SCHEMA = StructType(
     [
         StructField("title", StringType()),

@@ -63,6 +63,9 @@ def minhash_candidates(
     makes the Arrow pass run exactly once; consumers re-derive the explode
     JVM-side from materialized arrays (at cluster scale this is the
     standard "write signatures once" step)."""
+    from warc2zim_spark.partitioning import spread_input
+
+    docs = spread_input(docs)
     keys = docs.select(
         F.col(id_col).alias("doc_id"),
         udfs.minhash_bands_of_text(F.col(text_col)).alias("band_keys"),
@@ -70,20 +73,31 @@ def minhash_candidates(
     exploded = keys.select(
         "doc_id", F.posexplode("band_keys").alias("band_no", "band_key")
     )
-    # cap pathological buckets (e.g. empty-text clusters) to bound join fanout
-    bucket_sizes = exploded.groupBy("band_no", "band_key").count()
-    capped = exploded.join(
-        bucket_sizes.filter(F.col("count") <= max_bucket).select("band_no", "band_key"),
-        ["band_no", "band_key"],
-        "left_semi",
+    # one groupBy per band bucket: collect the (≤ max_bucket) member ids and
+    # emit every (id_a < id_b) pair JVM-side from the sorted array. Replaces
+    # the former bucket-count + cap-semi-join + bucket self-join chain — four
+    # exchanges of the exploded band frame — with groupBy + distinct (two),
+    # same pair set (r06; guide §2.4). The size cap that bounded the
+    # self-join fanout now bounds the collected array and the pair explosion
+    # identically (oversized pathological buckets are dropped whole).
+    buckets = (
+        exploded.groupBy("band_no", "band_key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
-    left = capped.select("band_no", "band_key", F.col("doc_id").alias("id_a"))
-    right = capped.select("band_no", "band_key", F.col("doc_id").alias("id_b"))
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ids"), i + F.lit(2), F.size("ids")),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        )
+    )
     return (
-        left.join(right, ["band_no", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+        buckets.select(pair.alias("p")).select("p.id_a", "p.id_b").distinct()
     )
 
 
@@ -98,6 +112,13 @@ def minhash_near_duplicates(
     rate this is a ~100× smaller Arrow pass than re-shingling everything,
     and the small gram frame is checkpointed so the a/b join sides share
     one computation."""
+    from warc2zim_spark.partitioning import spread_input
+
+    # spread once here: the shingle pass AND the verify-join probe side
+    # inherit the doc scan's partitioning, and a single-file corpus runs
+    # both in one task (guide §2.5) — minhash_candidates' own spread then
+    # no-ops on the already-parallel frame
+    docs = spread_input(docs)
     cands = minhash_candidates(docs, id_col, text_col).localCheckpoint(eager=False)
     cand_ids = (
         cands.select(F.col("id_a").alias("doc_id"))

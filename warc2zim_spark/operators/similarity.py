@@ -62,6 +62,11 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k per query: (query_id, neighbor_id, cosine, rank).
     ``queries`` is expected to be small → broadcast against the corpus."""
+    from warc2zim_spark.partitioning import spread_input
+
+    # the corpus side is the probe of a broadcast join: a single-file
+    # embedding table would run every cosine in one task (guide §2.5)
+    corpus = spread_input(corpus)
     c = with_norm(corpus, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col("_dvec").alias("c_vec"),

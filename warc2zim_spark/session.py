@@ -42,6 +42,14 @@ def get_spark(
         # pre-shuffle UDF stage; 16m ≈ cores×(file/16m) tasks. At cluster
         # scale with thousands of files, set this back via spark-submit conf.
         .config("spark.sql.files.maxPartitionBytes", "16m")
+        # floor scan parallelism at the core count (r06): the hot tables are
+        # single ~100 MB parquet files, so even 16m splits give only ~6-7
+        # scan tasks and every scan-stage Arrow UDF pass (surt over pages,
+        # posturl over records, html link extraction) ran at a fifth of the
+        # machine. Derived from the core count, not a constant — a cluster
+        # deployment with thousands of input files is already above this
+        # floor and is unaffected.
+        .config("spark.sql.files.minPartitionNum", str(shuffle_partitions))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
