@@ -147,6 +147,55 @@ class TestFrontierPlanSingleEval:
         assert evals.count("host_of") <= 1, evals
         pages_keyed.unpersist()
 
+    def test_content_records_two_surt_evals_pinned(self, spark):
+        """content_records' zim_path null filter over the surt Project is a
+        KNOWN, A/B'd 2x-eval (records.py): asNondeterministic gives one eval
+        but blocks consumer predicates from pushing through to the scan, and
+        the measured bench delta is a wash because surt is a microsecond
+        kernel next to the pairing window. Pin the count at exactly 2: a
+        third eval means a new bug; a drop to 1 means the trade-off was
+        silently re-decided. Re-A/B trigger: if the fuzzy-rule battery in
+        kernels/surt.py grows materially, re-measure before keeping 2."""
+        from warc2zim_spark.operators.records import content_records
+
+        records = spark.createDataFrame(
+            [
+                (0, 0, "response", "https://a.example/p1", 200, "text/html",
+                 None, None, None, None, None, None, 10),
+            ],
+            "file_seq int, rec_seq long, rec_type string, url string, "
+            "status int, mime string, record_id string, concurrent_to string, "
+            "req_method string, req_mime string, req_body binary, "
+            "req_content_length long, payload_len long",
+        )
+        df = content_records(records)
+        df.count()
+        evals = _arrow_evals(df)
+        assert evals.count("surt_key") == 2, evals
+
+    def test_rewrite_distributed_single_eval_per_stage(self, spark):
+        """rewritten_pages_distributed (the 10^10-path rewrite shape): the
+        extract UDF and the rewrite UDF each run once; decode_payload runs
+        once per page PASS (extract + rewrite = 2) — the two passes are the
+        design (decide on narrow key rows, touch html only in its own scan
+        stage), not a duplicate-eval bug."""
+        from warc2zim_spark.operators.rewrite import rewritten_pages_distributed
+
+        pages = spark.createDataFrame(
+            [
+                ("https://a.example/p1", b"<html><a href='/p2'>x</a></html>"),
+                ("https://a.example/p2", b"<html></html>"),
+            ],
+            "url string, html binary",
+        )
+        seen = spark.createDataFrame([("a.example/p2",)], "zim_path string")
+        df = rewritten_pages_distributed(pages, seen, mode="exact")
+        df.count()
+        evals = _arrow_evals(df)
+        assert evals.count("extract_link_targets") == 1, evals
+        assert evals.count("_rewrite_with_row_seen") == 1, evals
+        assert evals.count("decode_payload") <= 2, evals
+
     def test_js_modules_single_parse(self, spark):
         from warc2zim_spark.operators.rewrite import js_module_paths
 

@@ -283,63 +283,99 @@ def run_crawl(
             )
         ).localCheckpoint(eager=True)
     pages_keyed = page_lookup(pages).cache()
-    for wave in range(start_wave, max_waves):
-        # frontier is checkpoint-materialized → count is a cheap block scan;
-        # it decides whether this wave's salted pre-windows are worth their
-        # extra candidate shuffle (skew-conditional salting)
-        wave_salt = (
-            salt_partitions if frontier.count() >= salt_min_candidates else 0
-        )
-        seen_for_wave = (
-            F.broadcast(seen) if seen_count <= _SEEN_BROADCAST_MAX else seen
-        )
-        scheduled, next_frontier = crawl_wave(
-            frontier, seen_for_wave, pages, robots,
-            host_budget=host_budget, wave_budget=wave_budget,
-            pages_keyed=pages_keyed, seen_bloom=seen_bloom,
-            salt_partitions=wave_salt, bloom_partitions=bloom_partitions,
-        )
-        out = scheduled.select(
-            F.lit(wave).alias("wave"), "url", "surt_key", "host", "hops",
-            F.round("score", 9).alias("score"),
-        ).cache()
-        # idempotent wave write (overwrite → safe re-run after partial failure)
-        out.write.mode("overwrite").parquet(str(ckpt / f"wave={wave}"))
-        # one aggregation job for all wave metrics (not a job per stat)
-        stats = out.agg(
-            F.count("*").alias("n"), F.countDistinct("host").alias("hosts")
-        ).collect()[0]
-        n_scheduled = stats["n"]
-        metrics = {
-            "wave": wave,
-            "scheduled": n_scheduled,
-            "hosts": stats["hosts"],
-        }
-        (ckpt / f"wave={wave}._metrics.json").write_text(json.dumps(metrics))
-        (ckpt / f"wave={wave}._SUCCESS_WAVE").write_text("ok")
-        if n_scheduled == 0:
-            break
-        if seen_mode == "bloom":
-            wave_bloom = build_bloom(
-                out.select("surt_key"),
-                num_partitions=bloom_partitions, m_bits=bloom_m_bits,
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import Observation
+
+    # overlap independent driver-submitted jobs (guide §2.6): actions are
+    # only sequential because the driver calls them sequentially. Per wave,
+    # the schedule's parquet write and the next frontier's checkpoint
+    # consume the SAME materialized schedule and depend on nothing else of
+    # each other — running the write in a worker thread lets the link
+    # extraction back-fill the executor slots the write's tail leaves idle.
+    # The lookup-cache build likewise overlaps wave-0's scheduling chain
+    # (it is first needed only at the mid-wave fetch join).
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        warm_lookup = pool.submit(pages_keyed.count)
+        for wave in range(start_wave, max_waves):
+            # frontier is checkpoint-materialized → count is a cheap block
+            # scan; it decides whether this wave's salted pre-windows are
+            # worth their extra candidate shuffle (skew-conditional salting)
+            wave_salt = (
+                salt_partitions if frontier.count() >= salt_min_candidates else 0
             )
-            seen_bloom = merge_blooms(seen_bloom, wave_bloom).localCheckpoint(
-                eager=True
+            seen_for_wave = (
+                F.broadcast(seen) if seen_count <= _SEEN_BROADCAST_MAX else seen
             )
-            # persist the filter itself (north_rule: seen-filter resumable
-            # from checkpoint without re-reading every wave's keys)
-            seen_bloom.write.mode("overwrite").parquet(
-                str(ckpt / f"seen_bloom_wave={wave}")
+            scheduled, next_frontier = crawl_wave(
+                frontier, seen_for_wave, pages, robots,
+                host_budget=host_budget, wave_budget=wave_budget,
+                pages_keyed=pages_keyed, seen_bloom=seen_bloom,
+                salt_partitions=wave_salt, bloom_partitions=bloom_partitions,
             )
-        else:
-            # no distinct (r06): this wave's keys are disjoint from seen by
-            # construction (they survived the anti-join) and unique within
-            # the wave (dedup groupBy), so the union IS the exact seen set —
-            # the distinct was one full seen-set shuffle per wave for nothing
-            seen = seen.union(out.select("surt_key")).localCheckpoint(eager=True)
-            seen_count += n_scheduled
-        frontier = next_frontier.localCheckpoint(eager=True).filter(_valid())
+            out = scheduled.select(
+                F.lit(wave).alias("wave"), "url", "surt_key", "host", "hops",
+                F.round("score", 9).alias("score"),
+            )
+            # wave metrics ride the write job as an Observation (r06): count
+            # + distinct hosts (size(collect_set) ≡ countDistinct) are
+            # collected while the rows stream to parquet, replacing the
+            # separate aggregation job per wave; out needs no cache — its
+            # only other consumer (the seen union) is a column projection of
+            # the already-checkpointed schedule
+            obs = Observation(f"wave={wave}")
+            observed = out.observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.size(F.collect_set("host")).alias("hosts"),
+            )
+            # idempotent wave write (overwrite → safe re-run after partial
+            # failure), submitted to the pool so the next-frontier
+            # checkpoint below runs concurrently
+            write_fut = pool.submit(
+                lambda df=observed, w=wave: df.write.mode("overwrite").parquet(
+                    str(ckpt / f"wave={w}")
+                )
+            )
+            frontier_next = next_frontier.localCheckpoint(eager=True)
+            write_fut.result()
+            stats = obs.get
+            n_scheduled = stats["n"]
+            metrics = {
+                "wave": wave,
+                "scheduled": n_scheduled,
+                "hosts": stats["hosts"],
+            }
+            (ckpt / f"wave={wave}._metrics.json").write_text(json.dumps(metrics))
+            (ckpt / f"wave={wave}._SUCCESS_WAVE").write_text("ok")
+            if n_scheduled == 0:
+                break
+            if seen_mode == "bloom":
+                wave_bloom = build_bloom(
+                    out.select("surt_key"),
+                    num_partitions=bloom_partitions, m_bits=bloom_m_bits,
+                )
+                seen_bloom = merge_blooms(seen_bloom, wave_bloom).localCheckpoint(
+                    eager=True
+                )
+                # persist the filter itself (north_rule: seen-filter
+                # resumable from checkpoint without re-reading every wave's
+                # keys)
+                seen_bloom.write.mode("overwrite").parquet(
+                    str(ckpt / f"seen_bloom_wave={wave}")
+                )
+            else:
+                # no distinct (r06): this wave's keys are disjoint from seen
+                # by construction (they survived the anti-join) and unique
+                # within the wave (dedup groupBy), so the union IS the exact
+                # seen set — the distinct was one full seen-set shuffle per
+                # wave for nothing
+                seen = seen.union(out.select("surt_key")).localCheckpoint(
+                    eager=True
+                )
+                seen_count += n_scheduled
+            frontier = frontier_next.filter(_valid())
+        warm_lookup.result()
     pages_keyed.unpersist()
     waves = sorted(int(p.name.split("=")[1]) for p in ckpt.glob("wave=*") if p.is_dir())
     return (

@@ -28,6 +28,12 @@ WAVE_MS = 30_000              # nominal wall-clock per wave for delay budgeting
 # kills the zipf-hot-host straggler (one host holding 30% of candidates would
 # otherwise serialize into a single window task). Result provably identical.
 DEFAULT_SALT_PARTITIONS = 32
+# largest wave budget served by orderBy+limit (TakeOrderedAndProject): the
+# per-partition top-k queue holds `budget` rows, so the cap bounds per-task
+# memory at ~budget × rowsize; larger budgets take the windowed-rank path.
+import os as _os
+
+_TOPK_LIMIT_MAX = int(_os.environ.get("W2ZS_TOPK_LIMIT_MAX", "2000000"))
 
 
 def robots_allowed(candidates: DataFrame, robots: DataFrame, path_col: str = "surt_key") -> DataFrame:
@@ -176,6 +182,17 @@ def prioritize(
     # empty-partitionBy window whose Exchange SinglePartition carried EVERY
     # candidate into one full sort task (r06; guide §2.4). Same row set:
     # (hops, -score, surt_key) is a total order over per-wave candidates.
-    return df.orderBy(F.asc("hops"), F.desc("score"), F.asc("surt_key")).limit(
-        wave_budget
+    # Scale guard: the per-partition queue holds k rows, so a 10^8 wave
+    # budget would pin ~GBs per task — beyond the cap, fall back to the
+    # windowed global rank over the salt-shrunk survivors (the pre-phase
+    # above bounds that window's input at salt_partitions × budget).
+    if wave_budget <= _TOPK_LIMIT_MAX:
+        return df.orderBy(
+            F.asc("hops"), F.desc("score"), F.asc("surt_key")
+        ).limit(wave_budget)
+    w = Window.orderBy(F.asc("hops"), F.desc("score"), F.asc("surt_key"))
+    return (
+        df.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= wave_budget)
+        .drop("_rank")
     )

@@ -117,8 +117,10 @@ def rewritten_pages_distributed(
         )
     )
     if mode == "exact":
+        # no distinct on the probe set (r06): semi-join existence tests are
+        # invariant to duplicate build keys; the dedup was one extra shuffle
         confirmed = candidates.join(
-            seen.select(F.col("zim_path").alias("target")).distinct(),
+            seen.select(F.col("zim_path").alias("target")),
             "target",
             "left_semi",
         )
@@ -202,8 +204,9 @@ def rewritten_pages_full(
         F.explode(udfs.extract_link_targets(html_str, F.col("url"))).alias("target"),
     )
     if mode == "exact":
+        # same semi-join duplicate-invariance: no distinct (r06)
         confirmed = candidates.join(
-            seen.select(F.col("zim_path").alias("target")).distinct(),
+            seen.select(F.col("zim_path").alias("target")),
             "target", "left_semi",
         )
     else:
@@ -285,8 +288,9 @@ def rewritten_js(
             udfs.extract_js_import_targets(F.col("js_text"), F.col("url"))
         ).alias("target"),
     )
+    # semi-join: duplicate build keys cannot change the result — no distinct
     confirmed = candidates.join(
-        seen.select(F.col("zim_path").alias("target")).distinct(),
+        seen.select(F.col("zim_path").alias("target")),
         "target",
         "left_semi",
     )
