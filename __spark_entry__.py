@@ -401,15 +401,19 @@ def q_w_icon_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_w_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C12 — the byte-identical invariant: decode(html) → extract_text."""
+    """C12 — the byte-identical invariant: decode(html) → extract_text.
+
+    r06: the decode and extract kernels run FUSED in one Arrow stage
+    (extract_text_from_bytes) — Spark plans chained pandas UDFs as two
+    separate eval nodes, so the former extract_text(decode_payload(...))
+    chain shipped every decoded document across the Python boundary twice.
+    Same kernels composed per row → byte-identical text."""
     from warc2zim_spark.functions import udfs
 
     pages = _pages(spark, sf_dir)
     return pages.select(
         "url",
-        udfs.extract_text(
-            udfs.decode_payload(F.col("html"), F.lit(None).cast("string"), F.lit("html"))
-        ).alias("text"),
+        udfs.extract_text_from_bytes(F.col("html")).alias("text"),
     )
 
 

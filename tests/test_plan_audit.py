@@ -137,7 +137,7 @@ class TestFrontierPlanSingleEval:
         # return would mean the exploded link frame round-trips through
         # Python again)
         assert evals.count("extract_wave_links") == 1, evals
-        for name in ("extract_meta", "resolve_url"):
+        for name in ("extract_meta", "resolve_url", "decode_payload"):
             assert evals.count(name) == 0, (name, evals)
         # surt_key lives only inside the cached page_lookup build, whose
         # subtree the plan toString prints (not a live eval — same artifact

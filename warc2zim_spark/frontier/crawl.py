@@ -173,23 +173,21 @@ def crawl_wave(
     fetched = hits.join(
         pages.select(F.col("url").alias("page_url"), "html"), "page_url"
     )
-    html_str = udfs.decode_payload(
-        F.col("html"), F.lit(None).cast("string"), F.lit("html")
-    )
     links = (
         fetched.filter(F.col("html").isNotNull())
         .select(
             "hops", "score",
             # decode + extract + resolve + canonicalize fused into ONE Arrow
-            # stage (extract_wave_links; chained python UDFs share the eval
-            # node) — the former extract_meta → explode → resolve_url →
-            # surt_key/host_of chain round-tripped the exploded link frame
-            # through Python three times. *_outer: plain explode's implicit
-            # non-empty guard is a predicate on the UDF output and made
-            # Catalyst run the parse TWICE per page; a linkless page yields
-            # one null row that dies in the frontier's _VALID filter.
+            # stage over the raw bytes (extract_wave_links) — the former
+            # chain round-tripped the page through Python for decode, again
+            # for the parse, and the exploded link frame twice more (Spark
+            # plans even chained pandas UDFs as separate eval nodes).
+            # *_outer: plain explode's implicit non-empty guard is a
+            # predicate on the UDF output and made Catalyst run the parse
+            # TWICE per page; a linkless page yields one null row that dies
+            # in the frontier's _VALID filter.
             F.explode_outer(
-                udfs.extract_wave_links(html_str, F.col("url"))
+                udfs.extract_wave_links(F.col("html"), F.col("url"))
             ).alias("l"),
         )
         .select(

@@ -168,6 +168,39 @@ def extract_text(htmls: pd.Series) -> pd.Series:
     return htmls.map(_textextract.extract_text, na_action="ignore")
 
 
+def _decode_html_bytes(payload, opts: "_decode.DecodeOptions") -> str | None:
+    """Exactly decode_payload's per-row path for mode='html' — shared by the
+    fused bytes-in UDFs below so their decode tier is bit-identical to the
+    standalone decode_payload(col, NULL, 'html') chain they replace."""
+    if payload is None:
+        return None
+    return _decode.to_string_or_none(
+        bytes(payload),
+        None,
+        opts.try_list(),
+        opts.header_bytes,
+        ignore_content_header_charsets=opts.ignore_content_header_charsets,
+        ignore_http_header_charsets=opts.ignore_http_header_charsets,
+        extra_aliases=opts.extra_aliases,
+    )
+
+
+@pandas_udf(StringType())
+def extract_text_from_bytes(payloads: pd.Series) -> pd.Series:
+    """Fused decode(html-mode, default options) → frozen text extraction in
+    ONE Arrow stage (r06). Spark does NOT merge chained pandas UDFs into a
+    single eval node — extract_text(decode_payload(html,...)) planned as TWO
+    ArrowEvalPython stages, so every decoded document crossed the JVM↔Python
+    boundary twice (guide §4.1). Composes the same two kernels, so the text
+    is byte-identical per url."""
+    opts = _decode.DecodeOptions()
+    out = []
+    for p in payloads:
+        s = _decode_html_bytes(p, opts)
+        out.append(None if s is None else _textextract.extract_text(s))
+    return pd.Series(out, dtype=object)
+
+
 @pandas_udf(ArrayType(StringType()))
 def extract_js_import_targets(contents: pd.Series, base_urls: pd.Series) -> pd.Series:
     """Canonical keys of URL-shaped import specifiers — the extract stage of
@@ -229,22 +262,26 @@ _WAVE_LINK_SCHEMA = ArrayType(
 
 
 @pandas_udf(_WAVE_LINK_SCHEMA)
-def extract_wave_links(htmls: pd.Series, base_urls: pd.Series) -> pd.Series:
-    """Fused crawl-wave link pass (r06): HTML → [(resolved url, surt_key,
-    host)] in ONE Arrow stage. Composes the exact kernels the former
-    three-boundary chain ran (extract_meta links → resolve_url → surt_key +
-    host_of), so each link's (url, surt_key, host) triple is byte-identical
-    — but the per-link strings cross the JVM↔Python boundary once instead
-    of three round trips of the exploded link frame (guide §4.1: you cannot
-    remove the boundary, you control how often rows cross it). Links that
-    the old chain would have nulled (skip-scheme hrefs, urljoin failures,
-    non-canonicalizable or hostless urls) are omitted — exactly the rows
-    the crawl's _valid() filter dropped one step later."""
+def extract_wave_links(payloads: pd.Series, base_urls: pd.Series) -> pd.Series:
+    """Fused crawl-wave link pass (r06): raw html BYTES → [(resolved url,
+    surt_key, host)] in ONE Arrow stage. Composes the exact kernels the
+    former four-boundary chain ran (decode_payload html-mode → extract_meta
+    links → resolve_url → surt_key + host_of), so each link's (url,
+    surt_key, host) triple is byte-identical — but the page bytes and the
+    per-link strings cross the JVM↔Python boundary once instead of four
+    round trips (guide §4.1: you cannot remove the boundary, you control
+    how often rows cross it; Spark plans chained pandas UDFs as SEPARATE
+    eval nodes, so even decode→extract was two html transfers). Links that
+    the old chain would have nulled (undecodable pages, skip-scheme hrefs,
+    urljoin failures, non-canonicalizable or hostless urls) are omitted —
+    exactly the rows the crawl's _valid() filter dropped one step later."""
     from urllib.parse import urljoin
 
+    opts = _decode.DecodeOptions()
     out = []
-    for h, u in zip(htmls, base_urls):
+    for p, u in zip(payloads, base_urls):
         rows: list[tuple[str, str, str]] = []
+        h = _decode_html_bytes(p, opts)
         if h is not None and u is not None:
             for href in _htmlmeta.extract_meta(h)["links"]:
                 if href is None:
