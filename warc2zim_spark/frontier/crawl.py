@@ -252,15 +252,19 @@ def run_crawl(
     # nothing and restores wave-0 parallelism (r06; set identical, order
     # explicitly re-established by every downstream sort key).
     n_parts = spark.sparkContext.defaultParallelism
-    frontier = (
-        (
-            initial_frontier
-            if initial_frontier is not None
-            else _normalize_cols(seeds.repartition(n_parts))
-        )
-        .localCheckpoint(eager=True)
-        .filter(_valid())
-    )
+    frontier_ckpt = (
+        initial_frontier
+        if initial_frontier is not None
+        else _normalize_cols(seeds.repartition(n_parts))
+    ).localCheckpoint(eager=False)
+    # one job materializes the (lazy) checkpoint AND returns the candidate
+    # count the salt heuristic needs (r06 — was an eager-checkpoint job plus
+    # a separate count job per wave). The count is now pre-_valid-filter;
+    # it only gates the skew-conditional salting, whose salted and unsalted
+    # paths are result-identical (pinned in tests), so the schedule cannot
+    # depend on which side of the threshold a wave lands.
+    frontier_count = frontier_ckpt.count()
+    frontier = frontier_ckpt.filter(_valid())
     seen = (
         initial_seen
         if initial_seen is not None
@@ -296,11 +300,11 @@ def run_crawl(
     with ThreadPoolExecutor(max_workers=2) as pool:
         warm_lookup = pool.submit(pages_keyed.count)
         for wave in range(start_wave, max_waves):
-            # frontier is checkpoint-materialized → count is a cheap block
-            # scan; it decides whether this wave's salted pre-windows are
-            # worth their extra candidate shuffle (skew-conditional salting)
+            # candidate count decides whether this wave's salted pre-windows
+            # are worth their extra shuffle (skew-conditional salting);
+            # collected for free by the checkpoint-materializing job above
             wave_salt = (
-                salt_partitions if frontier.count() >= salt_min_candidates else 0
+                salt_partitions if frontier_count >= salt_min_candidates else 0
             )
             seen_for_wave = (
                 F.broadcast(seen) if seen_count <= _SEEN_BROADCAST_MAX else seen
@@ -335,7 +339,10 @@ def run_crawl(
                     str(ckpt / f"wave={w}")
                 )
             )
-            frontier_next = next_frontier.localCheckpoint(eager=True)
+            # lazy checkpoint + count in one job (also feeds next wave's
+            # salt heuristic), concurrent with the write above
+            frontier_ckpt = next_frontier.localCheckpoint(eager=False)
+            frontier_count = frontier_ckpt.count()
             write_fut.result()
             stats = obs.get
             n_scheduled = stats["n"]
@@ -372,7 +379,7 @@ def run_crawl(
                     eager=True
                 )
                 seen_count += n_scheduled
-            frontier = frontier_next.filter(_valid())
+            frontier = frontier_ckpt.filter(_valid())
         warm_lookup.result()
     pages_keyed.unpersist()
     waves = sorted(int(p.name.split("=")[1]) for p in ckpt.glob("wave=*") if p.is_dir())
